@@ -1,0 +1,240 @@
+"""E2–E6 — HTML tokenizer, block segmenter, scorer, classifier.
+
+Shallow-text-feature main-content extraction in the Boilerpipe/jusText family
+(public literature), per the north_star mandate (BASELINE.json:6): tag-density
+scoring, link-text ratio, block-level content classification with neighbor
+smoothing. Pure Python, deterministic, total over arbitrary strings; replaces
+ocrAutomator's per-document Tesseract call (SURVEY.md §2A A6) as the "core
+map" run inside one mapInPandas stage.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+from ocrautomator_spark.kernel.textutil import stopword_ratio, word_count
+from ocrautomator_spark.kernel.types import (
+    KIND_CODE,
+    KIND_CONTENT,
+    KIND_HEADING,
+    KIND_LIST,
+    Block,
+)
+
+# ---- classifier thresholds (frozen named constants; bump EXTRACTOR_VERSION
+# in extractor.py whenever any of these change — SURVEY.md §7 M0) ----
+MAX_LINK_RATIO = 0.40          # above ⇒ boilerplate regardless of length
+GOOD_WORDS = 10                # at/above with low link ratio ⇒ content
+GOOD_LINK_RATIO = 0.30         # "low link ratio" bound for the rule above
+MIN_WORDS = 3                  # below ⇒ boilerplate (unless heading/code)
+CHROME_RESCUE_WORDS = 20       # block inside nav/footer/aside/header needs this
+CHROME_RESCUE_LINK_RATIO = 0.20
+STOPWORD_BONUS = 0.30          # stopword ratio ≥ this lets a 'near' block lean content
+HEADING_LOOKAHEAD = 3          # heading kept if content within next N blocks
+
+BLOCK_TAGS = frozenset(
+    "p div ul ol li h1 h2 h3 h4 h5 h6 table thead tbody tr td th blockquote pre "
+    "article section nav aside header footer main form fieldset dl dt dd hr "
+    "figure figcaption address title".split()
+)
+SKIP_TAGS = frozenset("script style noscript head svg template iframe".split())
+CHROME_TAGS = frozenset("nav aside footer header".split())
+VOID_TAGS = frozenset("br img hr input meta link area base col embed source track wbr".split())
+HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6 title".split())
+
+_TOKEN = re.compile(r"<!--.*?(?:-->|$)|<!\[CDATA\[.*?(?:\]\]>|$)|<[^>]*>|[^<]+", re.S)
+_TAG_NAME = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9-]*)")
+
+
+class _Seg:
+    """Tokenizer+segmenter state (E2+E3)."""
+
+    def __init__(self) -> None:
+        self.blocks: list[Block] = []
+        self.parts: list[str] = []       # decoded text parts of current block
+        self.part_spans: list[tuple[int, int]] = []
+        self.n_link_chars = 0
+        self.n_inline_tags = 0
+        self.kind = KIND_CONTENT
+        self.kind_set = False
+        self.in_chrome_block = False
+
+    def flush(self) -> None:
+        text = "".join(self.parts)
+        if text.strip():
+            # trim offsets to the non-whitespace extent of the block
+            lead = len(text) - len(text.lstrip())
+            trail = len(text) - len(text.rstrip())
+            start = self.part_spans[0][0]
+            end = self.part_spans[-1][1]
+            # leading/trailing ws may live entirely in first/last part; the
+            # adjustment is approximate only when entities shift lengths,
+            # which never moves offsets outside the true source region
+            first_len = self.part_spans[0][1] - self.part_spans[0][0]
+            last_len = self.part_spans[-1][1] - self.part_spans[-1][0]
+            start += min(lead, max(first_len - 1, 0))
+            end -= min(trail, max(last_len - 1, 0))
+            if start >= end:  # degenerate after trimming; fall back
+                start, end = self.part_spans[0][0], self.part_spans[-1][1]
+            b = Block(text=text, start=start, end=end, kind=self.kind)
+            b.n_words = word_count(text)
+            b.n_chars = len(text.strip())
+            b.n_link_chars = min(self.n_link_chars, b.n_chars)
+            b.n_inline_tags = self.n_inline_tags
+            if self.in_chrome_block:
+                b.label = "chrome"
+            self.blocks.append(b)
+        self.parts = []
+        self.part_spans = []
+        self.n_link_chars = 0
+        self.n_inline_tags = 0
+        self.kind = KIND_CONTENT
+        self.kind_set = False
+        self.in_chrome_block = False
+
+
+def segment_html(raw: str) -> list[Block]:
+    """Tokenize raw HTML and group text runs into scored candidate blocks."""
+    seg = _Seg()
+    skip_depth = 0
+    a_depth = 0
+    pre_depth = 0
+    heading_depth = 0
+    li_depth = 0
+    chrome_depth = 0
+
+    for m in _TOKEN.finditer(raw):
+        tok = m.group(0)
+        if tok.startswith("<!--") or tok.startswith("<!["):
+            continue
+        if tok.startswith("<"):
+            nm = _TAG_NAME.match(tok)
+            if not nm:
+                continue  # <!doctype …>, <?xml …>, or malformed
+            name = nm.group(1).lower()
+            closing = tok.startswith("</")
+            selfclosing = tok.rstrip().endswith("/>") or name in VOID_TAGS
+
+            if name in SKIP_TAGS:
+                if selfclosing:
+                    continue
+                skip_depth = max(skip_depth - 1, 0) if closing else skip_depth + 1
+                continue
+            if skip_depth:
+                continue
+
+            if name in BLOCK_TAGS:
+                seg.flush()
+                if not selfclosing:
+                    d = -1 if closing else 1
+                    if name in CHROME_TAGS:
+                        chrome_depth = max(chrome_depth + d, 0)
+                    elif name == "pre":
+                        pre_depth = max(pre_depth + d, 0)
+                    elif name in HEADING_TAGS:
+                        heading_depth = max(heading_depth + d, 0)
+                    elif name == "li":
+                        li_depth = max(li_depth + d, 0)
+            else:
+                if name == "a" and not selfclosing:
+                    a_depth = max(a_depth - 1, 0) if closing else a_depth + 1
+                if name == "br":
+                    seg.parts.append("\n" if pre_depth else " ")
+                    if seg.part_spans:
+                        seg.part_spans[-1] = (seg.part_spans[-1][0], m.end())
+                    continue
+                if not closing:
+                    seg.n_inline_tags += 1
+        else:
+            if skip_depth:
+                continue
+            text = _html.unescape(tok)
+            if pre_depth == 0:
+                text = re.sub(r"\s+", " ", text)
+            if not text:
+                continue
+            if not seg.kind_set and text.strip():
+                if pre_depth:
+                    seg.kind = KIND_CODE
+                elif heading_depth:
+                    seg.kind = KIND_HEADING
+                elif li_depth:
+                    seg.kind = KIND_LIST
+                seg.kind_set = True
+                seg.in_chrome_block = chrome_depth > 0
+            seg.parts.append(text)
+            seg.part_spans.append((m.start(), m.end()))
+            if a_depth > 0:
+                seg.n_link_chars += len(text.strip())
+    seg.flush()
+    return seg.blocks
+
+
+def link_ratio(b: Block) -> float:
+    """E5 — chars inside <a> ÷ total chars of the block."""
+    return b.n_link_chars / b.n_chars if b.n_chars else 0.0
+
+
+def tag_density(b: Block) -> float:
+    """E4 — inline tags ÷ (inline tags + words)."""
+    denom = b.n_inline_tags + b.n_words
+    return b.n_inline_tags / denom if denom else 0.0
+
+
+def classify_blocks(blocks: list[Block]) -> list[Block]:
+    """E6 — label each block content/boilerplate with neighbor smoothing;
+    return kept blocks in document order."""
+    for b in blocks:
+        chrome = b.label == "chrome"
+        lr = link_ratio(b)
+        if b.kind == KIND_CODE:
+            b.label = "content" if b.n_chars > 0 else "boilerplate"
+        elif b.kind == KIND_HEADING:
+            b.label = "near" if (b.n_words >= 1 and lr <= MAX_LINK_RATIO and not chrome) else "boilerplate"
+        elif chrome and not (b.n_words >= CHROME_RESCUE_WORDS and lr < CHROME_RESCUE_LINK_RATIO):
+            b.label = "boilerplate"
+        elif lr > MAX_LINK_RATIO:
+            b.label = "boilerplate"
+        elif b.n_words >= GOOD_WORDS and lr <= GOOD_LINK_RATIO:
+            b.label = "content"
+        elif b.n_words < MIN_WORDS:
+            b.label = "boilerplate"
+        else:
+            b.label = "near"
+            if stopword_ratio(b.text) >= STOPWORD_BONUS and lr <= GOOD_LINK_RATIO:
+                b.label = "lean"  # near, leaning content
+
+    # neighbor smoothing: a near block adjacent (ignoring headings) to a
+    # content block on either side becomes content; 'lean' needs one side,
+    # plain 'near' needs a content neighbor too but not between two boiler.
+    n = len(blocks)
+    body = [b for b in blocks if b.kind != KIND_HEADING]
+
+    def _neighbor_content(i: int, direction: int) -> bool:
+        j = i + direction
+        while 0 <= j < len(body):
+            if body[j].label == "content":
+                return True
+            if body[j].label == "boilerplate":
+                return False
+            j += direction
+        return False
+
+    for i, b in enumerate(body):
+        if b.label in ("near", "lean"):
+            if _neighbor_content(i, -1) or _neighbor_content(i, +1):
+                b.label = "content"
+            elif b.label == "lean" and b.n_words >= MIN_WORDS:
+                b.label = "content"
+            else:
+                b.label = "boilerplate"
+
+    # headings survive only when content follows within HEADING_LOOKAHEAD
+    for i, b in enumerate(blocks):
+        if b.kind == KIND_HEADING and b.label == "near":
+            window = blocks[i + 1 : i + 1 + HEADING_LOOKAHEAD]
+            b.label = "content" if any(x.label == "content" for x in window) else "boilerplate"
+
+    _ = n  # document-order length retained for future windowed rules
+    return [b for b in blocks if b.label == "content"]

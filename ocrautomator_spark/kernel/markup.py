@@ -1,0 +1,124 @@
+"""Mixed-markup (markdown + inline HTML) and plain-text block extraction.
+
+Code fences are kept verbatim as kind='code' spans; headings and list items
+become typed spans; inline markup (<b>, <a>, **, [text](url), `code`) is
+stripped to visible text (FIXTURES.md §A payload class 3/4 expectations).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+from ocrautomator_spark.kernel.types import (
+    KIND_CODE,
+    KIND_CONTENT,
+    KIND_HEADING,
+    KIND_LIST,
+    Block,
+)
+
+_FENCE = re.compile(r"^```")
+_HEADING = re.compile(r"^(#{1,6})\s+(.*)$")
+_LIST_ITEM = re.compile(r"^(?:[-*+]|\d+\.)\s+(.*)$")
+
+
+def strip_inline(s: str) -> str:
+    """Strip inline HTML tags and markdown emphasis/links to visible text."""
+    s = re.sub(r"<[^>]+>", "", s)
+    s = _html.unescape(s)
+    s = re.sub(r"!\[([^\]]*)\]\([^)]*\)", r"\1", s)   # image → alt text
+    s = re.sub(r"\[([^\]]*)\]\([^)]*\)", r"\1", s)     # link → anchor text
+    s = re.sub(r"(\*\*|__)(.+?)\1", r"\2", s)           # bold
+    s = re.sub(r"(?<![\w*])([*_])([^*_\n]+?)\1(?![\w*])", r"\2", s)  # italic
+    s = re.sub(r"`([^`\n]*)`", r"\1", s)                # inline code
+    return s
+
+
+def _mk_block(text: str, start: int, end: int, kind: str) -> Block:
+    b = Block(text=text, start=start, end=max(end, start + 1), kind=kind)
+    b.n_words = len(text.split())
+    b.n_chars = len(text)
+    return b
+
+
+def extract_mixed(raw: str) -> list[Block]:
+    lines: list[tuple[int, int, str]] = []
+    pos = 0
+    for ln in raw.split("\n"):
+        lines.append((pos, pos + len(ln), ln))
+        pos += len(ln) + 1
+
+    blocks: list[Block] = []
+    para: list[tuple[int, int, str]] = []
+    in_fence = False
+    fence_lines: list[tuple[int, int, str]] = []
+
+    def flush_para() -> None:
+        nonlocal para
+        if para:
+            text = " ".join(strip_inline(t.strip()) for _, _, t in para).strip()
+            if text:
+                blocks.append(_mk_block(text, para[0][0], para[-1][1], KIND_CONTENT))
+            para = []
+
+    for s, e, ln in lines:
+        stripped = ln.strip()
+        if _FENCE.match(stripped):
+            if in_fence:
+                if fence_lines:
+                    code = "\n".join(t for _, _, t in fence_lines)
+                    blocks.append(_mk_block(code, fence_lines[0][0], fence_lines[-1][1], KIND_CODE))
+                fence_lines = []
+                in_fence = False
+            else:
+                flush_para()
+                in_fence = True
+            continue
+        if in_fence:
+            fence_lines.append((s, e, ln))
+            continue
+        if not stripped:
+            flush_para()
+            continue
+        hm = _HEADING.match(stripped)
+        if hm:
+            flush_para()
+            text = strip_inline(hm.group(2)).strip()
+            if text:
+                blocks.append(_mk_block(text, s + (len(ln) - len(ln.lstrip())), e, KIND_HEADING))
+            continue
+        lm = _LIST_ITEM.match(stripped)
+        if lm:
+            flush_para()
+            text = strip_inline(lm.group(1)).strip()
+            if text:
+                blocks.append(_mk_block(text, s + (len(ln) - len(ln.lstrip())), e, KIND_LIST))
+            continue
+        para.append((s, e, ln))
+    if in_fence and fence_lines:  # unterminated fence: keep verbatim
+        code = "\n".join(t for _, _, t in fence_lines)
+        blocks.append(_mk_block(code, fence_lines[0][0], fence_lines[-1][1], KIND_CODE))
+    flush_para()
+    return blocks
+
+
+def extract_plain(raw: str) -> list[Block]:
+    """Plain text: paragraphs on blank lines, hard wraps joined — ≈ identity."""
+    blocks: list[Block] = []
+    para: list[tuple[int, int, str]] = []
+    pos = 0
+    for ln in raw.split("\n"):
+        s, e = pos, pos + len(ln)
+        pos += len(ln) + 1
+        if not ln.strip():
+            if para:
+                text = " ".join(t.strip() for _, _, t in para)
+                blocks.append(_mk_block(text, para[0][0], para[-1][1], KIND_CONTENT))
+                para = []
+            continue
+        para.append((s, e, ln))
+    if para:
+        text = " ".join(t.strip() for _, _, t in para)
+        blocks.append(_mk_block(text, para[0][0], para[-1][1], KIND_CONTENT))
+    return blocks

@@ -1,0 +1,97 @@
+"""E7 — layout-aware reflow for PDF-layout text.
+
+The reference renders PDF pages to images and OCRs them (SURVEY.md §2A A3/A6,
+MuPDF + Tesseract); here the payload is already layout-damaged text, so the
+transform is repair: drop running headers/footers repeated across pages,
+de-hyphenate across line breaks, join hard-wrapped lines into paragraphs,
+keep paragraph breaks. Pure, deterministic, offset-preserving at block level.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ocrautomator_spark.kernel.types import KIND_CONTENT, Block
+
+PAGE_MARKER = re.compile(r"^[ \t]*(?:page\s+\d+(\s+of\s+\d+)?|-\s*\d+\s*-|\d{1,4})[ \t]*$", re.I)
+_DIGITS = re.compile(r"\d+")
+EDGE_LINES = 2          # lines at top/bottom of a page eligible as header/footer
+MIN_REPEATS = 2         # signature must recur on ≥ this many pages to be chrome
+_SENT_END = (".", "!", "?", '."', '?"', '!"', ":", ")")
+
+
+def _lines_with_offsets(raw: str) -> list[tuple[int, int, str]]:
+    out = []
+    pos = 0
+    for ln in raw.split("\n"):
+        out.append((pos, pos + len(ln), ln))
+        pos += len(ln) + 1
+    return out
+
+
+def reflow_pdf(raw: str) -> list[Block]:
+    """Return reflowed paragraph blocks with source spans."""
+    pages = []
+    pos = 0
+    for page in raw.split("\f"):
+        lines = []
+        for ln in page.split("\n"):
+            lines.append((pos, pos + len(ln), ln))
+            pos += len(ln) + 1
+        pos = lines[-1][1] + 1 if lines else pos + 1  # account for the \f
+        pages.append(lines)
+
+    # running header/footer detection: digit-masked signatures of the first/
+    # last EDGE_LINES non-empty lines per page, recurring on ≥ MIN_REPEATS pages
+    sig_pages: dict[str, set[int]] = {}
+    for pi, lines in enumerate(pages):
+        nonempty = [i for i, (_, _, t) in enumerate(lines) if t.strip()]
+        edges = set(nonempty[:EDGE_LINES]) | set(nonempty[-EDGE_LINES:])
+        for i in edges:
+            sig = _DIGITS.sub("#", lines[i][2].strip().lower())
+            sig_pages.setdefault(sig, set()).add(pi)
+    chrome_sigs = {s for s, ps in sig_pages.items() if len(ps) >= MIN_REPEATS}
+
+    paragraphs: list[list[tuple[int, int, str]]] = []
+    cur: list[tuple[int, int, str]] = []
+    for pi, lines in enumerate(pages):
+        nonempty_idx = [i for i, (_, _, t) in enumerate(lines) if t.strip()]
+        edge = set(nonempty_idx[:EDGE_LINES]) | set(nonempty_idx[-EDGE_LINES:])
+        if pi > 0 and cur:
+            # page boundary ends the paragraph only after sentence punctuation
+            if cur[-1][2].rstrip().endswith(_SENT_END):
+                paragraphs.append(cur)
+                cur = []
+        for i, (s, e, t) in enumerate(lines):
+            stripped = t.strip()
+            if not stripped:
+                if cur:
+                    paragraphs.append(cur)
+                    cur = []
+                continue
+            if i in edge:
+                sig = _DIGITS.sub("#", stripped.lower())
+                if sig in chrome_sigs or PAGE_MARKER.match(stripped):
+                    continue
+            if PAGE_MARKER.match(stripped):
+                continue
+            cur.append((s, e, t))
+    if cur:
+        paragraphs.append(cur)
+
+    blocks: list[Block] = []
+    for para in paragraphs:
+        text = para[0][2].strip()
+        for _, _, t in para[1:]:
+            nxt = t.strip()
+            if text.endswith("-") and nxt and nxt[0].islower():
+                text = text[:-1] + nxt          # de-hyphenate: infor-\nmation
+            else:
+                text = text + " " + nxt
+        first_s = para[0][0] + (len(para[0][2]) - len(para[0][2].lstrip()))
+        last_e = para[-1][1] - (len(para[-1][2]) - len(para[-1][2].rstrip()))
+        b = Block(text=text, start=first_s, end=max(last_e, first_s + 1), kind=KIND_CONTENT)
+        b.n_words = len(text.split())
+        b.n_chars = len(text)
+        blocks.append(b)
+    return blocks
