@@ -15,8 +15,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Extraction kernel (mapInPandas, salted repartition, sortWithinPartitions)
+    over ``documents``, rolled up by (lang, payload_kind) — SURVEY.md §7 M1.
+    """
+    from ocrautomator_spark.spark.extract_job import flagship
+
+    return flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
