@@ -1,0 +1,74 @@
+"""M3 — checkpoint/resume property: resume ≡ fresh (SURVEY.md §5.4c).
+
+Crash after k of n chunk commits, resume, and the final table must equal an
+uninterrupted run's — no missing turns, no duplicates, no recomputation of
+committed chunks (verified via run_id provenance in the manifests).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ocrautomator_spark.spark.pipeline import run_pipeline
+from ocrautomator_spark.spark.synth_job import synth_transcripts_df
+from ocrautomator_spark.spark.tableio import ParquetManifestIO
+
+N_CONVS = 30
+N_BUCKETS = 6
+
+
+def _sorted_rows(df):
+    return [
+        (r["conv_id"], r["turn_idx"], r["extracted_text"], tuple((s["start"], s["end"], s["kind"]) for s in r["spans"]))
+        for r in df.select("conv_id", "turn_idx", "extracted_text", "spans")
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    ]
+
+
+def test_resume_equals_fresh(spark, tmp_path):
+    inp = synth_transcripts_df(spark, N_CONVS)
+
+    fresh_io = ParquetManifestIO(str(tmp_path / "fresh"))
+    manifests = run_pipeline(inp, fresh_io, n_buckets=N_BUCKETS, n_partitions=4, run_id="fresh")
+    assert len(manifests) == N_BUCKETS
+    fresh_rows = _sorted_rows(fresh_io.read(spark))
+    assert len(fresh_rows) == inp.count()
+
+    # crashed run: commits 2 chunks then dies
+    crash_io = ParquetManifestIO(str(tmp_path / "crash"))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_pipeline(inp, crash_io, n_buckets=N_BUCKETS, n_partitions=4, run_id="run1", fail_after=2)
+    assert len(crash_io.committed_buckets()) == 2
+
+    # resume: only the missing 4 chunks run, under a new run_id
+    resumed = run_pipeline(inp, crash_io, n_buckets=N_BUCKETS, n_partitions=4, run_id="run2")
+    assert len(resumed) == N_BUCKETS - 2
+    assert {m["run_id"] for m in resumed} == {"run2"}
+    by_run = {m["run_id"] for m in crash_io.manifests()}
+    assert by_run == {"run1", "run2"}, "committed chunks must NOT be recomputed"
+
+    assert _sorted_rows(crash_io.read(spark)) == fresh_rows
+
+
+def test_manifest_metrics_and_lineage(spark, tmp_path):
+    inp = synth_transcripts_df(spark, 10)
+    io = ParquetManifestIO(str(tmp_path / "m"))
+    manifests = run_pipeline(inp, io, n_buckets=3, n_partitions=2, run_id="r")
+    total_rows = sum(int(m["rows"]) for m in manifests)
+    assert total_rows == inp.count()
+    for m in manifests:
+        assert m["chars_out"] > 0
+        assert m["errors"] == 0
+        assert m["avg_batch_latency_ms"] > 0
+        assert m["wall_sec"] > 0
+    # lineage columns present on every output row
+    out = io.read(spark)
+    cols = set(out.columns)
+    assert {"extractor_version", "partition_id", "batch_latency_ms", "n_chars_in", "n_chars_out"} <= cols
+
+
+def test_torn_manifest_is_not_committed(tmp_path):
+    io = ParquetManifestIO(str(tmp_path / "t"))
+    (io.manifest_dir / "bucket-00001.json").write_text('{"bucke')  # torn write
+    assert io.committed_buckets() == set()
