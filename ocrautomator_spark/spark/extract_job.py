@@ -85,6 +85,8 @@ def run_extract(
     """
     passthrough = passthrough or []
     schema = _output_schema(df, passthrough)
+    # column pruning before the Python stage: ship exactly the input columns
+    df = df.select(*[f.name for f in TRANSCRIPTS.fields], *passthrough)
     spark = df.sparkSession
     n = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     # ONE repartition for the whole job (SURVEY.md §4): hash of

@@ -1,0 +1,171 @@
+"""Structured Streaming jobs over the events table.
+
+Pattern: file-source readStream (the events parquet as the 'arriving' data)
+→ event-time transformation → memory sink, run to completion with
+processAllAvailable, then the sink table is returned as a batch DataFrame.
+This makes real streaming executions deterministically comparable against
+the DuckDB batch oracles: same input, same windows, same counts.
+
+On a real cluster the same code points readStream at an Iceberg/Kafka source
+and writeStream at the extracted table with a durable checkpointLocation.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The file streaming source requires a DIRECTORY; expose the single
+    # events.parquet file through a symlink dir (idempotent, per sf_dir).
+    import hashlib
+    import os
+    import pathlib
+
+    src = pathlib.Path(sf_dir) / "events.parquet"
+    d = pathlib.Path("/tmp") / f"ocras_stream_{hashlib.md5(str(src).encode()).hexdigest()[:10]}"
+    d.mkdir(exist_ok=True)
+    link = d / "events.parquet"
+    if not link.exists():
+        os.symlink(src, link)
+    # explicit schema (no inference in production paths)
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(str(d))
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    output_mode: str,
+    transform_done: Callable[[DataFrame], DataFrame] | None = None,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion into a memory sink; return the
+    sink contents as a batch DataFrame (optionally post-transformed)."""
+    name = f"sink_{uuid.uuid4().hex[:10]}"
+    query = stream_df.writeStream.format("memory").queryName(name).outputMode(output_mode).start()
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    out = stream_df.sparkSession.table(name)
+    return transform_done(out) if transform_done else out
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window + watermark (late data beyond 10 min of max
+    event time would be dropped in append mode; complete mode emits all)."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    return run_to_memory(
+        agg,
+        "complete",
+        lambda df: df.select(
+            F.col("win.start").cast("string").alias("window_start"), "event_type", "n"
+        ),
+    )
+
+
+def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    return run_to_memory(
+        agg,
+        "complete",
+        lambda df: df.select(
+            F.col("win.start").cast("string").alias("window_start"), "event_type", "n"
+        ),
+    )
+
+
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window: 30-minute inactivity gap per user."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return run_to_memory(
+        agg,
+        "complete",
+        lambda df: df.select(
+            "user_id",
+            F.col("win.start").cast("string").alias("session_start"),
+            F.col("win.end").cast("string").alias("session_end"),
+            "n_events",
+        ),
+    )
+
+
+def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type) within the watermark."""
+    deduped = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    return run_to_memory(
+        deduped,
+        "append",
+        lambda df: df.agg(F.count("*").alias("n_unique_pairs")),
+    )
+
+
+def stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing (applyInPandasWithState): running
+    per-user event counters, the custom-stateful-operator path (§2B)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [StructField("user_id", LongType(), True), StructField("n_events", LongType(), True)]
+    )
+    state_schema = StructType([StructField("count", LongType(), True)])
+
+    def update(key, pdf_iter, state: GroupState):
+        total = sum(len(pdf) for pdf in pdf_iter)
+        prev = state.get[0] if state.exists else 0
+        state.update((prev + total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [prev + total]})
+
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
+    )
+    # update-mode sink may hold one row per user per microbatch; the final
+    # counter per user is the max (counters are monotone)
+    return run_to_memory(
+        agg,
+        "update",
+        lambda df: df.groupBy("user_id").agg(F.max("n_events").alias("n_events")),
+    )
