@@ -8,14 +8,21 @@ Spark lifecycle (§3.2), one Python crossing total:
       → salted repartition                 (A11: defeats long-conversation skew;
                                             the reference's analogue is a huge PDF
                                             head-of-line-blocking one thread)
-      → mapInPandas(extract_batches)       (A5+A6: batched Arrow/pandas UDF replaces
-                                            the per-document worker loop)
+      → mapInArrow(extract_batches)        (A5+A6: batched Arrow UDF replaces the
+                                            per-document worker loop; Arrow-native,
+                                            no pandas boxing — passthrough columns
+                                            cross zero-copy, spans are built as
+                                            vectorized ListArray/StructArray)
       → sortWithinPartitions(conv_id, turn_idx)   (A7: stable turn ordering)
       → [caller writes + commits manifest]  (A8/A10, see checkpoint.py)
 
 Lineage/metrics columns (extractor_version, partition_id, batch_latency_ms,
 char counts) ride along with every row — the columnar rebuild of the
 exif-writeback (A9). BASELINE.json:6 names every element of this design.
+
+The raw payload column is NOT copied into the output (schemas.py
+EXTRACT_KEY_COLS rationale) — at 10^12 turns that halves shuffle/sort/write
+bytes; spans point back into the source table.
 """
 
 from __future__ import annotations
@@ -23,52 +30,85 @@ from __future__ import annotations
 import time
 from collections.abc import Iterator
 
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from ocrautomator_spark.kernel.extractor import EXTRACTOR_VERSION, extract_one
-from ocrautomator_spark.spark.schemas import EXTRACTED, TRANSCRIPTS
+from ocrautomator_spark.spark.schemas import EXTRACT_FIELDS, EXTRACT_KEY_COLS, TRANSCRIPTS
 
 # A long conversation is spread over up to SALT_BUCKETS partitions; extraction
 # is per-turn, so splitting a conversation across tasks is semantics-free.
 SALT_BUCKETS = 16
 
+_SPAN_TYPE = pa.struct(
+    [
+        pa.field("start", pa.int32(), False),
+        pa.field("end", pa.int32(), False),
+        pa.field("kind", pa.string(), False),
+    ]
+)
 
-def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+
+def extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     """Arrow-batched extraction: one Python crossing, kernel applied per row
-    within the batch (the kernel itself is string-at-a-time, like Tesseract
-    was document-at-a-time — but batching amortizes interpreter + transfer
-    overhead, and all pre/post processing stays JVM-side)."""
+    within the batch (string-at-a-time like Tesseract was document-at-a-time,
+    but batching amortizes transfer + interpreter overhead and all pre/post
+    processing stays JVM-side). Output spans are assembled as flat Arrow
+    child arrays + offsets — no per-row Python dicts cross the boundary."""
     from pyspark import TaskContext
 
     tc = TaskContext.get()
     pid = tc.partitionId() if tc is not None else -1
-    for pdf in batches:
+    for rb in batches:
         t0 = time.perf_counter()
-        results = [extract_one(t) for t in pdf["text"]]
-        latency_ms = (time.perf_counter() - t0) * 1000.0
-        out = pdf.copy()
-        out["extracted_text"] = [r.extracted_text for r in results]
-        out["spans"] = [
-            [{"start": s.start, "end": s.end, "kind": s.kind} for s in r.spans]
-            for r in results
-        ]
-        out["payload_kind"] = [r.payload_kind for r in results]
-        out["extractor_version"] = EXTRACTOR_VERSION
-        out["partition_id"] = pid
-        out["batch_latency_ms"] = latency_ms
-        out["n_chars_in"] = pdf["text"].str.len().fillna(0).astype("int32")
-        out["n_chars_out"] = pd.Series(
-            [len(r.extracted_text) for r in results], index=pdf.index, dtype="int32"
+        text_idx = rb.schema.get_field_index("text")
+        texts = rb.column(text_idx).to_pylist()
+        results = [extract_one(t) for t in texts]
+
+        starts: list[int] = []
+        ends: list[int] = []
+        kinds: list[str] = []
+        offsets = [0]
+        for r in results:
+            for s in r.spans:
+                starts.append(s.start)
+                ends.append(s.end)
+                kinds.append(s.kind)
+            offsets.append(len(starts))
+        span_structs = pa.StructArray.from_arrays(
+            [pa.array(starts, pa.int32()), pa.array(ends, pa.int32()), pa.array(kinds, pa.string())],
+            fields=list(_SPAN_TYPE),
         )
-        yield out
+        spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), span_structs)
+
+        extracted = pa.array([r.extracted_text for r in results], pa.string())
+        latency_ms = (time.perf_counter() - t0) * 1000.0
+        n = rb.num_rows
+        new_cols = [
+            extracted,
+            spans,
+            pa.array([r.payload_kind for r in results], pa.string()),
+            pa.array([EXTRACTOR_VERSION] * n, pa.string()),
+            pa.array([pid] * n, pa.int32()),
+            pa.array([latency_ms] * n, pa.float64()),
+            pc.cast(pc.utf8_length(rb.column(text_idx)), pa.int32()),
+            pa.array([len(r.extracted_text) for r in results], pa.int32()),
+        ]
+        keep_idx = [i for i, name in enumerate(rb.schema.names) if name != "text"]
+        cols = [rb.column(i) for i in keep_idx] + new_cols
+        names = [rb.schema.names[i] for i in keep_idx] + [f.name for f in EXTRACT_FIELDS]
+        yield pa.RecordBatch.from_arrays(cols, names=names)
 
 
 def _output_schema(df: DataFrame, passthrough: list[str]) -> StructType:
-    extra = [f for f in df.schema.fields if f.name in passthrough]
-    return StructType(list(EXTRACTED.fields) + extra)
+    """Key/passthrough columns keep their ACTUAL input types (e.g. parquet
+    TIMESTAMP_NTZ vs TIMESTAMP), then the extraction fields are appended."""
+    keep = [c for c in EXTRACT_KEY_COLS if c in df.columns] + passthrough
+    in_fields = {f.name: f for f in df.schema.fields}
+    return StructType([in_fields[c] for c in keep] + EXTRACT_FIELDS)
 
 
 def run_extract(
@@ -81,18 +121,19 @@ def run_extract(
     """Transcripts-shaped df → extracted df. Lazy; caller triggers the action.
 
     ``passthrough`` columns (beyond the TRANSCRIPTS six) are carried through
-    the Python stage unchanged and appended to the output schema.
+    the Python stage unchanged (zero-copy Arrow) and appended to the output.
     """
     passthrough = passthrough or []
     schema = _output_schema(df, passthrough)
-    # column pruning before the Python stage: ship exactly the input columns
-    df = df.select(*[f.name for f in TRANSCRIPTS.fields], *passthrough)
+    # column pruning before the Python stage: ship exactly what's needed
+    in_cols = [c for c in EXTRACT_KEY_COLS if c in df.columns] + ["text"] + passthrough
+    df = df.select(*in_cols)
     spark = df.sparkSession
     n = n_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     # ONE repartition for the whole job (SURVEY.md §4): hash of
     # (conv_id, turn_idx mod salt) spreads hot conversations over salt buckets
     salted = df.repartition(n, F.col("conv_id"), F.pmod(F.col("turn_idx"), F.lit(salt_buckets)))
-    ext = salted.mapInPandas(extract_batches, schema=schema)
+    ext = salted.mapInArrow(extract_batches, schema=schema)
     ext = ext.sortWithinPartitions("conv_id", "turn_idx")
     if observe:
         ext = ext.observe(
@@ -141,7 +182,6 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 __all__ = [
     "EXTRACTOR_VERSION",
     "TRANSCRIPTS",
-    "EXTRACTED",
     "SALT_BUCKETS",
     "extract_batches",
     "run_extract",

@@ -37,18 +37,28 @@ SPAN = StructType(
     ]
 )
 
-# output: input keys + result + lineage/metrics columns — the columnar rebuild
-# of ocrAutomator's exif-writeback enrichment (SURVEY.md §2A A9, BASELINE.json:6)
+# Extraction result + lineage/metrics columns — the columnar rebuild of
+# ocrAutomator's exif-writeback enrichment (SURVEY.md §2A A9, BASELINE.json:6).
+EXTRACT_FIELDS = [
+    StructField("extracted_text", StringType(), False),
+    StructField("spans", ArrayType(SPAN, False), False),
+    StructField("payload_kind", StringType(), False),
+    StructField("extractor_version", StringType(), False),
+    StructField("partition_id", IntegerType(), False),
+    StructField("batch_latency_ms", DoubleType(), False),
+    StructField("n_chars_in", IntegerType(), False),
+    StructField("n_chars_out", IntegerType(), False),
+]
+
+# Input columns carried into the output. The raw ``text`` payload is
+# deliberately NOT duplicated into the extracted table: at 10^12-turn scale
+# that would double every shuffle, sort, and write for bytes that already
+# live in the source table — ``spans`` are char-offset provenance pointers
+# into it, and (conv_id, turn_idx) joins recover the payload when needed.
+EXTRACT_KEY_COLS = ["conv_id", "turn_idx", "role", "tool", "ts"]
+
+# output: keys + result + lineage (field types for the key columns follow the
+# actual input schema at runtime — see extract_job._output_schema)
 EXTRACTED = StructType(
-    list(TRANSCRIPTS.fields)
-    + [
-        StructField("extracted_text", StringType(), False),
-        StructField("spans", ArrayType(SPAN, False), False),
-        StructField("payload_kind", StringType(), False),
-        StructField("extractor_version", StringType(), False),
-        StructField("partition_id", IntegerType(), False),
-        StructField("batch_latency_ms", DoubleType(), False),
-        StructField("n_chars_in", IntegerType(), False),
-        StructField("n_chars_out", IntegerType(), False),
-    ]
+    [f for f in TRANSCRIPTS.fields if f.name in EXTRACT_KEY_COLS] + EXTRACT_FIELDS
 )

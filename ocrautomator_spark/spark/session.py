@@ -13,7 +13,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_BATCH_ROWS = 2048  # raw payloads are ~1–3 KB; keep batches ~2–6 MB
+ARROW_BATCH_ROWS = 10000  # raw payloads ~1 KB → ~10 MB batches; amortizes per-batch overhead
 
 
 def get_spark(

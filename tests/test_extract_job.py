@@ -32,13 +32,16 @@ def test_extract_over_synth_transcripts(spark):
     assert r0["batch_latency_ms"] >= 0.0
     kinds = {r["payload_kind"] for r in rows}
     assert kinds == {"html", "pdf_layout", "mixed_markup", "plain"}
-    # spans are structured and in-bounds
+    assert "text" not in ext.columns, "raw payload must not be duplicated into the output"
+    # spans are structured and in-bounds of the SOURCE payload (join back)
+    texts = {(r["conv_id"], r["turn_idx"]): r["text"] for r in df.collect()}
     some = [r for r in rows if r["spans"]][:50]
     assert some
     for r in some:
+        raw = texts[(r["conv_id"], r["turn_idx"])]
         prev = 0
         for s in r["spans"]:
-            assert 0 <= s["start"] < s["end"] <= len(r["text"])
+            assert 0 <= s["start"] < s["end"] <= len(raw)
             assert s["start"] >= prev
             prev = s["end"]
 
