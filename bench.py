@@ -33,7 +33,14 @@ REPO = pathlib.Path(__file__).resolve().parent
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", min(os.cpu_count() or 8, 32)))
 BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "36000"))
-SMALL_CORES = max(CPUS // 4, 1)  # "N executors"; CPUS is "4N"
+# The N-vs-4N pair. Default base N=4: each "executor" gets a PINNED core
+# budget (taskset 0..cores-1), because unpinned local[N] lets JVM helper
+# threads and Python workers borrow the host's idle cores, silently inflating
+# small-N throughput — a real N-core executor has no spare cores to borrow.
+# BASELINE.md records the measured hardware ceiling for this box.
+SMALL_CORES = int(os.environ.get("SPARK_GRAFT_BENCH_BASE", "4"))
+BIG_CORES = min(SMALL_CORES * 4, CPUS)
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
 HEADLINE = [
     "agg_hash",
@@ -92,18 +99,24 @@ def _worker(master: str, input_path: str) -> None:
     print(json.dumps({"wall": wall, "rows": rows, "cores": cores}))
 
 
-def _run_worker(cores: int, input_path: pathlib.Path) -> dict:
-    proc = subprocess.run(
-        [sys.executable, __file__, "--worker", f"local[{cores}]", str(input_path)],
-        capture_output=True,
-        text=True,
-        check=False,
-        cwd=str(REPO),
-    )
+def _run_worker_once(cores: int, input_path: pathlib.Path) -> dict:
+    cmd = [sys.executable, __file__, "--worker", f"local[{cores}]", str(input_path)]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd  # fixed core budget
+    proc = subprocess.run(cmd, capture_output=True, text=True, check=False, cwd=str(REPO))
     for line in reversed(proc.stdout.strip().splitlines()):
         if line.startswith("{"):
             return json.loads(line)
     raise RuntimeError(f"bench worker local[{cores}] failed:\n{proc.stderr[-3000:]}")
+
+
+def _run_worker(cores: int, input_path: pathlib.Path) -> dict:
+    """Best (min wall) of REPS cold-JVM runs — min is the right estimator for
+    capability on a steal-prone shared VM (BASELINE.md protocol)."""
+    runs = [_run_worker_once(cores, input_path) for _ in range(REPS)]
+    best = min(runs, key=lambda r: r["wall"])
+    best["walls"] = [round(r["wall"], 2) for r in runs]
+    return best
 
 
 def main() -> None:
@@ -115,17 +128,19 @@ def main() -> None:
         input_path, gen_sec = _gen_input()
         extras["gen_sec"] = round(gen_sec, 1)
         small = _run_worker(SMALL_CORES, input_path)
-        big = _run_worker(CPUS, input_path)
+        big = _run_worker(BIG_CORES, input_path)
         tps_small = small["rows"] / small["wall"]
         tps_big = big["rows"] / big["wall"]
-        eff = (tps_big / tps_small) / (CPUS / SMALL_CORES)
+        eff = (tps_big / tps_small) / (BIG_CORES / SMALL_CORES)
         results[f"extract_local{SMALL_CORES}"] = round(small["wall"], 2)
-        results[f"extract_local{CPUS}"] = round(big["wall"], 2)
+        results[f"extract_local{BIG_CORES}"] = round(big["wall"], 2)
         extras.update(
             bench_turns=small["rows"],
             turns_per_sec_small=round(tps_small, 1),
             turns_per_sec_big=round(tps_big, 1),
-            scaling_cores=[SMALL_CORES, CPUS],
+            scaling_cores=[SMALL_CORES, BIG_CORES],
+            walls_small=small.get("walls"),
+            walls_big=big.get("walls"),
             scaling_efficiency=round(eff, 3),
         )
 

@@ -45,6 +45,7 @@ HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6 title".split())
 
 _TOKEN = re.compile(r"<!--.*?(?:-->|$)|<!\[CDATA\[.*?(?:\]\]>|$)|<[^>]*>|[^<]+", re.S)
 _TAG_NAME = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9-]*)")
+_WS_ANY = re.compile(r"\s+")
 
 
 class _Seg:
@@ -106,55 +107,16 @@ def segment_html(raw: str) -> list[Block]:
 
     for m in _TOKEN.finditer(raw):
         tok = m.group(0)
-        if tok.startswith("<!--") or tok.startswith("<!["):
-            continue
-        if tok.startswith("<"):
-            nm = _TAG_NAME.match(tok)
-            if not nm:
-                continue  # <!doctype …>, <?xml …>, or malformed
-            name = nm.group(1).lower()
-            closing = tok.startswith("</")
-            selfclosing = tok.rstrip().endswith("/>") or name in VOID_TAGS
-
-            if name in SKIP_TAGS:
-                if selfclosing:
-                    continue
-                skip_depth = max(skip_depth - 1, 0) if closing else skip_depth + 1
-                continue
+        if tok[0] != "<":
+            # text run — the common case, handled first
             if skip_depth:
                 continue
-
-            if name in BLOCK_TAGS:
-                seg.flush()
-                if not selfclosing:
-                    d = -1 if closing else 1
-                    if name in CHROME_TAGS:
-                        chrome_depth = max(chrome_depth + d, 0)
-                    elif name == "pre":
-                        pre_depth = max(pre_depth + d, 0)
-                    elif name in HEADING_TAGS:
-                        heading_depth = max(heading_depth + d, 0)
-                    elif name == "li":
-                        li_depth = max(li_depth + d, 0)
-            else:
-                if name == "a" and not selfclosing:
-                    a_depth = max(a_depth - 1, 0) if closing else a_depth + 1
-                if name == "br":
-                    seg.parts.append("\n" if pre_depth else " ")
-                    if seg.part_spans:
-                        seg.part_spans[-1] = (seg.part_spans[-1][0], m.end())
-                    continue
-                if not closing:
-                    seg.n_inline_tags += 1
-        else:
-            if skip_depth:
-                continue
-            text = _html.unescape(tok)
+            text = _html.unescape(tok) if "&" in tok else tok
             if pre_depth == 0:
-                text = re.sub(r"\s+", " ", text)
+                text = _WS_ANY.sub(" ", text)
             if not text:
                 continue
-            if not seg.kind_set and text.strip():
+            if not seg.kind_set and not text.isspace():
                 if pre_depth:
                     seg.kind = KIND_CODE
                 elif heading_depth:
@@ -167,6 +129,47 @@ def segment_html(raw: str) -> list[Block]:
             seg.part_spans.append((m.start(), m.end()))
             if a_depth > 0:
                 seg.n_link_chars += len(text.strip())
+            continue
+        c1 = tok[1] if len(tok) > 1 else ""
+        if c1 == "!" or c1 == "?":
+            continue  # comment / doctype / CDATA / processing instruction
+        nm = _TAG_NAME.match(tok)
+        if not nm:
+            continue  # malformed
+        name = nm.group(1).lower()
+        closing = c1 == "/"
+        selfclosing = tok.rstrip().endswith("/>") or name in VOID_TAGS
+
+        if name in SKIP_TAGS:
+            if selfclosing:
+                continue
+            skip_depth = max(skip_depth - 1, 0) if closing else skip_depth + 1
+            continue
+        if skip_depth:
+            continue
+
+        if name in BLOCK_TAGS:
+            seg.flush()
+            if not selfclosing:
+                d = -1 if closing else 1
+                if name in CHROME_TAGS:
+                    chrome_depth = max(chrome_depth + d, 0)
+                elif name == "pre":
+                    pre_depth = max(pre_depth + d, 0)
+                elif name in HEADING_TAGS:
+                    heading_depth = max(heading_depth + d, 0)
+                elif name == "li":
+                    li_depth = max(li_depth + d, 0)
+        else:
+            if name == "a" and not selfclosing:
+                a_depth = max(a_depth - 1, 0) if closing else a_depth + 1
+            if name == "br":
+                seg.parts.append("\n" if pre_depth else " ")
+                if seg.part_spans:
+                    seg.part_spans[-1] = (seg.part_spans[-1][0], m.end())
+                continue
+            if not closing:
+                seg.n_inline_tags += 1
     seg.flush()
     return seg.blocks
 

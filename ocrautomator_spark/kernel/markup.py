@@ -23,15 +23,28 @@ _HEADING = re.compile(r"^(#{1,6})\s+(.*)$")
 _LIST_ITEM = re.compile(r"^(?:[-*+]|\d+\.)\s+(.*)$")
 
 
+_TAG = re.compile(r"<[^>]+>")
+_IMG = re.compile(r"!\[([^\]]*)\]\([^)]*\)")
+_LINK = re.compile(r"\[([^\]]*)\]\([^)]*\)")
+_BOLD = re.compile(r"(\*\*|__)(.+?)\1")
+_ITAL = re.compile(r"(?<![\w*])([*_])([^*_\n]+?)\1(?![\w*])")
+_CODE = re.compile(r"`([^`\n]*)`")
+
+
 def strip_inline(s: str) -> str:
     """Strip inline HTML tags and markdown emphasis/links to visible text."""
-    s = re.sub(r"<[^>]+>", "", s)
-    s = _html.unescape(s)
-    s = re.sub(r"!\[([^\]]*)\]\([^)]*\)", r"\1", s)   # image → alt text
-    s = re.sub(r"\[([^\]]*)\]\([^)]*\)", r"\1", s)     # link → anchor text
-    s = re.sub(r"(\*\*|__)(.+?)\1", r"\2", s)           # bold
-    s = re.sub(r"(?<![\w*])([*_])([^*_\n]+?)\1(?![\w*])", r"\2", s)  # italic
-    s = re.sub(r"`([^`\n]*)`", r"\1", s)                # inline code
+    if "<" in s:
+        s = _TAG.sub("", s)
+    if "&" in s:
+        s = _html.unescape(s)
+    if "[" in s:
+        s = _IMG.sub(r"\1", s)   # image → alt text
+        s = _LINK.sub(r"\1", s)  # link → anchor text
+    if "*" in s or "_" in s:
+        s = _BOLD.sub(r"\2", s)
+        s = _ITAL.sub(r"\2", s)
+    if "`" in s:
+        s = _CODE.sub(r"\1", s)
     return s
 
 

@@ -29,9 +29,12 @@ def collapse_ws(s: str) -> str:
     return s.strip()
 
 
+_ANY_WS = re.compile(r"\s+")
+
+
 def normalize_block_text(s: str) -> str:
     """Single-block normalization: all whitespace (incl. newlines) → space."""
-    return re.sub(r"\s+", " ", nfc(s)).strip()
+    return _ANY_WS.sub(" ", nfc(s)).strip()
 
 
 def word_count(s: str) -> int:

@@ -133,8 +133,11 @@ def run_extract(
     # ONE repartition for the whole job (SURVEY.md §4): hash of
     # (conv_id, turn_idx mod salt) spreads hot conversations over salt buckets
     salted = df.repartition(n, F.col("conv_id"), F.pmod(F.col("turn_idx"), F.lit(salt_buckets)))
-    ext = salted.mapInArrow(extract_batches, schema=schema)
-    ext = ext.sortWithinPartitions("conv_id", "turn_idx")
+    # stable (conv_id, turn_idx) ordering is established BEFORE the Python
+    # stage: sorting 6 narrow input columns is far cheaper than sorting the
+    # wide extracted rows, and mapInArrow preserves intra-partition row order
+    ordered = salted.sortWithinPartitions("conv_id", "turn_idx")
+    ext = ordered.mapInArrow(extract_batches, schema=schema)
     if observe:
         ext = ext.observe(
             "extract_stats",
