@@ -15,21 +15,16 @@ to string on both sides.
 
 from __future__ import annotations
 
-from ocrautomator_spark.queries import extraction, pipeline_ops, relational, scalars, udfs, windows
+from ocrautomator_spark.queries import (
+    extraction,
+    pipeline_ops,
+    relational,
+    relational2,
+    scalars,
+    udfs,
+    windows,
+)
 
-QUERIES = {
-    **relational.QUERIES,
-    **scalars.QUERIES,
-    **windows.QUERIES,
-    **udfs.QUERIES,
-    **pipeline_ops.QUERIES,
-    **extraction.QUERIES,
-}
-ORACLES = {
-    **relational.ORACLES,
-    **scalars.ORACLES,
-    **windows.ORACLES,
-    **udfs.ORACLES,
-    **pipeline_ops.ORACLES,
-    **extraction.ORACLES,
-}
+_MODULES = [relational, relational2, scalars, windows, udfs, pipeline_ops, extraction]
+QUERIES = {k: v for m in _MODULES for k, v in m.QUERIES.items()}
+ORACLES = {k: v for m in _MODULES for k, v in m.ORACLES.items()}

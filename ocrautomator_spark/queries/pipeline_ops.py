@@ -523,3 +523,61 @@ def mm_image_features(spark: SparkSession, sf: str) -> DataFrame:
     return d.mapInPandas(
         extract, "doc_id long, n_bytes long, width int, height int, phash string"
     )
+
+
+@q("mm_audio_features")  # STUBBED decode (no audio libs) → rows-only
+def mm_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio as opaque binary + typed metadata; feature extraction over
+    mapInPandas. ``_decode_stub`` fakes (duration, sample count, rms) from the
+    payload hash — swap for soundfile/librosa on a real cluster."""
+
+    def extract(batches):
+        import hashlib
+
+        for pdf in batches:
+            h = [hashlib.md5(b).hexdigest() for b in pdf["audio"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["audio"].str.len().astype("int64"),
+                    "duration_ms": pd.Series([1000 + int(x[:5], 16) % 600000 for x in h], dtype="int64"),
+                    "n_samples": pd.Series([(1000 + int(x[:5], 16) % 600000) * 16 for x in h], dtype="int64"),
+                    "rms": pd.Series([int(x[5:9], 16) / 65535.0 for x in h], dtype="float64"),
+                }
+            )
+
+    d = T(spark, sf, "documents").select("doc_id", F.encode("text", "utf-8").alias("audio"))
+    return d.mapInPandas(extract, "doc_id long, n_bytes long, duration_ms long, n_samples long, rms double")
+
+
+@q("mm_video_frame_sample")  # STUBBED decode → rows-only
+def mm_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame sampling shape: one input row → N sampled-frame rows
+    (mapInPandas as a table function). Deterministic fake frame hashes stand
+    in for decoded frames; the row-explosion plumbing and batch shape are
+    the real, tested contract."""
+
+    def sample_frames(batches):
+        import hashlib
+
+        for pdf in batches:
+            out_doc, out_idx, out_ts, out_hash = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["video"]):
+                h = hashlib.md5(payload).hexdigest()
+                n_frames = 2 + int(h[:2], 16) % 6  # 2–7 sampled frames
+                for i in range(n_frames):
+                    out_doc.append(doc_id)
+                    out_idx.append(i)
+                    out_ts.append(i * 2000)
+                    out_hash.append(hashlib.md5(payload + bytes([i])).hexdigest()[:16])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "ts_ms": pd.Series(out_ts, dtype="int64"),
+                    "frame_hash": out_hash,
+                }
+            )
+
+    d = T(spark, sf, "documents").select("doc_id", F.encode("text", "utf-8").alias("video"))
+    return d.mapInPandas(sample_frames, "doc_id long, frame_idx int, ts_ms long, frame_hash string")

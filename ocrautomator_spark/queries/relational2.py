@@ -1,0 +1,135 @@
+"""SURVEY.md §2B — second tranche of relational operators: grouping sets,
+scalar subquery, pivot, range-frame windows, percentiles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ocrautomator_spark.queries.common import T, davg, davg_sql, dsum_sql
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@q(
+    "agg_grouping_sets",
+    """
+    SELECT n_name, c_mktsegment, COUNT(*) AS n_cust
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    c, n = T(spark, sf, "customer"), T(spark, sf, "nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    j.createOrReplaceTempView("gs_cn")
+    return spark.sql(
+        """
+        SELECT n_name, c_mktsegment, COUNT(*) AS n_cust
+        FROM gs_cn
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        """
+    )
+
+
+@q(
+    "scalar_subquery",
+    f"""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT {davg_sql('o_totalprice')} FROM orders)
+    """,
+)
+def scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Uncorrelated scalar subquery → broadcast of a 1-row aggregate; the
+    decimal-exact avg makes the threshold bit-identical across engines."""
+    o = T(spark, sf, "orders")
+    avg_df = o.agg(davg("o_totalprice").alias("avg_price"))
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+_SEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@q(
+    "pivot_segments",
+    f"""
+    SELECT n_name,
+           {", ".join(f"COUNT(*) FILTER (WHERE c_mktsegment = '{s}') AS {s}" for s in _SEGS)}
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def pivot_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (long → wide): one column per market segment. Values are
+    enumerated explicitly — at scale an un-enumerated pivot forces an extra
+    distinct-values job before the real one."""
+    c, n = T(spark, sf, "customer"), T(spark, sf, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .pivot("c_mktsegment", _SEGS)
+        .count()
+        .na.fill(0, _SEGS)
+    )
+
+
+@q(
+    "win_range_frame",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS n_similar_cheaper
+    FROM orders
+    """,
+)
+def win_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE frame (value-based window): peers within 5000 of the current
+    price, not row-count based."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-5000, Window.currentRow)
+    )
+    return T(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", F.count("*").over(w).alias("n_similar_cheaper")
+    )
+
+
+@q(
+    "agg_percentile",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation); the approximate twin
+    (percentile_approx / t-digest) is the 100 TB path — see agg_approx for
+    the sketch-based pattern."""
+    li = T(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+        F.percentile("l_quantity", F.lit(0.9)).alias("p90_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )

@@ -70,7 +70,10 @@ def run_pipeline(
         t0 = time.perf_counter()
         io.write_bucket_data(ext, b)            # the action; fills the observation
         wall = time.perf_counter() - t0
-        stats = {k: (v if v is None else float(v)) for k, v in obs.get.items()}
+        stats = {
+            k: (v if v is None else (int(v) if k in ("rows", "chars_in", "chars_out", "errors") else float(v)))
+            for k, v in obs.get.items()
+        }
         stats["wall_sec"] = round(wall, 3)
         committed.append(io.commit_bucket(b, run_id, stats))
     return committed
