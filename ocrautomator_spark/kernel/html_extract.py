@@ -62,6 +62,15 @@ class _Seg:
         self.in_chrome_block = False
 
     def flush(self) -> None:
+        if not self.parts:
+            # fast path: nothing accumulated since the last block boundary
+            if self.n_inline_tags or self.kind_set:
+                self.n_inline_tags = 0
+                self.n_link_chars = 0
+                self.kind = KIND_CONTENT
+                self.kind_set = False
+                self.in_chrome_block = False
+            return
         text = "".join(self.parts)
         if text.strip():
             # trim offsets to the non-whitespace extent of the block
@@ -113,7 +122,18 @@ def segment_html(raw: str) -> list[Block]:
                 continue
             text = _html.unescape(tok) if "&" in tok else tok
             if pre_depth == 0:
-                text = _WS_ANY.sub(" ", text)
+                # C-level equivalent of _WS_ANY.sub(" ", text): collapse all
+                # (unicode) whitespace runs to single spaces, preserving
+                # one-space boundaries at the ends
+                mid = " ".join(text.split())
+                if mid:
+                    if text[0].isspace():
+                        mid = " " + mid
+                    if text[-1].isspace():
+                        mid += " "
+                    text = mid
+                elif text:
+                    text = " "
             if not text:
                 continue
             if not seg.kind_set and not text.isspace():
@@ -143,7 +163,11 @@ def segment_html(raw: str) -> list[Block]:
         if name in SKIP_TAGS:
             if selfclosing:
                 continue
-            skip_depth = max(skip_depth - 1, 0) if closing else skip_depth + 1
+            if closing:
+                if skip_depth:
+                    skip_depth -= 1
+            else:
+                skip_depth += 1
             continue
         if skip_depth:
             continue
@@ -153,16 +177,20 @@ def segment_html(raw: str) -> list[Block]:
             if not selfclosing:
                 d = -1 if closing else 1
                 if name in CHROME_TAGS:
-                    chrome_depth = max(chrome_depth + d, 0)
+                    chrome_depth = chrome_depth + d if chrome_depth + d > 0 else 0
                 elif name == "pre":
-                    pre_depth = max(pre_depth + d, 0)
+                    pre_depth = pre_depth + d if pre_depth + d > 0 else 0
                 elif name in HEADING_TAGS:
-                    heading_depth = max(heading_depth + d, 0)
+                    heading_depth = heading_depth + d if heading_depth + d > 0 else 0
                 elif name == "li":
-                    li_depth = max(li_depth + d, 0)
+                    li_depth = li_depth + d if li_depth + d > 0 else 0
         else:
             if name == "a" and not selfclosing:
-                a_depth = max(a_depth - 1, 0) if closing else a_depth + 1
+                if closing:
+                    if a_depth:
+                        a_depth -= 1
+                else:
+                    a_depth += 1
             if name == "br":
                 seg.parts.append("\n" if pre_depth else " ")
                 if seg.part_spans:
@@ -224,14 +252,24 @@ def classify_blocks(blocks: list[Block]) -> list[Block]:
             j += direction
         return False
 
+    was_near: list[Block] = []
     for i, b in enumerate(body):
         if b.label in ("near", "lean"):
+            was_near.append(b)
             if _neighbor_content(i, -1) or _neighbor_content(i, +1):
                 b.label = "content"
             elif b.label == "lean" and b.n_words >= MIN_WORDS:
                 b.label = "content"
             else:
                 b.label = "boilerplate"
+
+    # transcript-domain rescue: a webpage with ONLY short blocks is chrome,
+    # but a turn payload whose every block is short IS the message — if
+    # nothing survived, keep the plausible near blocks rather than nothing
+    if not any(b.label == "content" for b in body):
+        for b in was_near:
+            if b.n_words >= MIN_WORDS and link_ratio(b) <= GOOD_LINK_RATIO:
+                b.label = "content"
 
     # headings survive only when content follows within HEADING_LOOKAHEAD
     for i, b in enumerate(blocks):

@@ -27,7 +27,9 @@ def sniff(text: str) -> str:
     if not text or not text.strip():
         return PK_PLAIN
 
-    if _DOCTYPE.search(text) or len(_BLOCK_TAG.findall(text)) >= 3:
+    # ≥2 block-level tags: even a two-paragraph fragment routes through the
+    # HTML path (a single stray tag in prose stays plain)
+    if _DOCTYPE.search(text) or len(_BLOCK_TAG.findall(text)) >= 2:
         return PK_HTML
 
     md_signals = (

@@ -29,12 +29,10 @@ def collapse_ws(s: str) -> str:
     return s.strip()
 
 
-_ANY_WS = re.compile(r"\s+")
-
-
 def normalize_block_text(s: str) -> str:
-    """Single-block normalization: all whitespace (incl. newlines) → space."""
-    return _ANY_WS.sub(" ", nfc(s)).strip()
+    """Single-block normalization: all whitespace (incl. newlines) → space.
+    C-level equivalent of ``re.sub(r"\\s+", " ", nfc(s)).strip()``."""
+    return " ".join(nfc(s).split())
 
 
 def word_count(s: str) -> int:
