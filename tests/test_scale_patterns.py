@@ -1,0 +1,106 @@
+"""Scale-pattern demonstrations (SURVEY.md §4): bucketed co-located joins
+(no shuffle on either side), dynamic partition pruning, and AQE behavior.
+These pin the techniques a 100 TB deployment relies on; testdata is small but
+the PLANS prove the mechanics.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, tmp_path_factory):
+    """orders and lineitem bucketed by the join key into 8 buckets — the
+    co-located layout a 10^12-row fact table would use so repeated joins
+    never shuffle."""
+    wh = tmp_path_factory.mktemp("wh")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+        "path", str(wh / "orders_b")
+    ).saveAsTable("orders_b")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+        "path", str(wh / "lineitem_b")
+    ).saveAsTable("lineitem_b")
+    yield spark
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_bucketed_join_has_no_shuffle(bucketed):
+    spark = bucketed
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force the issue
+    try:
+        j = spark.table("lineitem_b").join(
+            spark.table("orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        ).groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+        plan = _plan(j)
+        join_section = plan.split("Join")[0] + plan.split("Join")[1][:2000]
+        assert "Exchange" not in join_section.split("HashAggregate")[0], (
+            "bucketed join must not shuffle either side"
+        )
+        # correctness unchanged vs the plain-parquet join
+        plain = (
+            spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+            .join(
+                spark.read.parquet(f"{SF_DIR}/orders.parquet"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        assert sorted(map(tuple, j.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Fact table partitioned by a key column; a selective dim filter must
+    prune fact partitions at runtime (dynamicpruning expression in the scan)."""
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumn(
+        "yr", F.year("o_orderdate")
+    )
+    fact_path = str(tmp_path / "orders_part")
+    o.write.partitionBy("yr").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    # DPP needs a FILTER on the dim side whose result prunes fact partitions
+    dim = spark.createDataFrame(
+        [(1995, "skip"), (1996, "pick"), (1997, "skip2")], "yr int, tag string"
+    ).filter(F.col("tag") == "pick")
+    j = fact.join(dim, "yr").groupBy("tag").agg(F.count("*").alias("n"))
+    plan = _plan(j)
+    assert "dynamicpruning" in plan.lower(), "dynamic partition pruning not planned"
+    rows = j.collect()
+    assert len(rows) == 1 and rows[0]["n"] > 0
+
+
+def test_aqe_coalesces_tiny_shuffle(spark):
+    """AQE shrinks the 32 configured shuffle partitions for a tiny group-by —
+    the runtime re-plan that keeps small stages from drowning in task
+    overhead at the other end of the scale spectrum."""
+    df = (
+        spark.read.parquet(f"{SF_DIR}/nation.parquet")
+        .groupBy("n_regionkey")
+        .agg(F.count("*").alias("n"))
+    )
+    parts = df.rdd.getNumPartitions()
+    assert parts < int(spark.conf.get("spark.sql.shuffle.partitions")), (
+        f"AQE should coalesce tiny shuffles, got {parts} partitions"
+    )
