@@ -53,8 +53,8 @@ def filter_pred(spark: SparkSession, sf: str) -> DataFrame:
     # compound predicate pushed to the parquet scan (PushedFilters in explain)
     li = T(spark, sf, "lineitem")
     return li.filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
         & F.col("l_discount").between(0.05, 0.07)
         & ~(F.col("l_quantity") >= 24)
     ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
@@ -278,7 +278,9 @@ def join_asof(spark: SparkSession, sf: str) -> DataFrame:
 def agg_hash(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1-style pricing summary — partial (map-side) aggregation then
     final merge, the canonical hash-agg plan."""
-    li = T(spark, sf, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    li = T(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity").alias("sum_qty"),

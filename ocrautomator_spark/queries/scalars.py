@@ -89,7 +89,11 @@ def scalar_datetime(spark: SparkSession, sf: str) -> DataFrame:
         F.date_trunc("month", "o_orderdate").cast("string").alias("month_start"),
         F.datediff("o_orderdate", F.lit("1995-01-01").cast("timestamp")).cast("long").alias("days_since"),
         F.date_add(F.col("o_orderdate"), 30).cast("string").alias("due_date"),
-        F.unix_timestamp("o_orderdate").alias("unix_sec"),
+        # tz-free epoch for midnight-aligned dates: unix_timestamp() would
+        # shift with the (unknown) driver session timezone
+        (
+            F.datediff("o_orderdate", F.lit("1970-01-01").cast("date")).cast("long") * 86400
+        ).alias("unix_sec"),
     )
 
 

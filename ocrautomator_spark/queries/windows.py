@@ -1,13 +1,19 @@
 """SURVEY.md §2B — event-time windowing: batch twins (F.window /
 session_window in batch mode) AND real Structured Streaming executions, both
-verified against the same DuckDB oracles."""
+verified against the same DuckDB oracles.
+
+Timezone hardening: events are read with an explicit TIMESTAMP (LTZ) schema
+(watermarks require LTZ), and all window boundaries are emitted as
+epoch-MICROSECOND INTEGERS (`unix_micros`), never rendered strings — so the
+results are bit-identical under ANY session timezone the caller's
+SparkSession happens to use. DuckDB side: ``epoch_us``.
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ocrautomator_spark.queries.common import T
 from ocrautomator_spark.streaming import jobs as sj
 
 QUERIES = {}
@@ -24,14 +30,19 @@ def q(name: str, oracle: str | None = None):
     return deco
 
 
+def events_ltz(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch read with the same explicit LTZ schema the stream uses."""
+    return spark.read.schema(sj.EVENTS_SCHEMA).parquet(f"{sf}/events.parquet")
+
+
 SQL_TUMBLING = """
-    SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS window_start,
+    SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
            event_type, COUNT(*) AS n
     FROM events GROUP BY 1, 2
 """
 
 SQL_SLIDING = """
-    SELECT CAST(time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes' AS VARCHAR) AS window_start,
+    SELECT epoch_us(time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes') AS window_start_us,
            event_type, COUNT(*) AS n
     FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) AS k(k)
     GROUP BY 1, 2
@@ -51,8 +62,8 @@ SQL_SESSION = """
              SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
       FROM l)
     SELECT user_id,
-           CAST(MIN(ts) AS VARCHAR) AS session_start,
-           CAST(MAX(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS session_end,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS session_end_us,
            COUNT(*) AS n_events
     FROM g GROUP BY user_id, sid
 """
@@ -67,33 +78,33 @@ SQL_STATEFUL = "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_i
 @q("win_tumbling", SQL_TUMBLING)
 def win_tumbling(spark: SparkSession, sf: str) -> DataFrame:
     return (
-        T(spark, sf, "events")
+        events_ltz(spark, sf)
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(F.count("*").alias("n"))
-        .select(F.col("win.start").cast("string").alias("window_start"), "event_type", "n")
+        .select(F.unix_micros("win.start").alias("window_start_us"), "event_type", "n")
     )
 
 
 @q("win_sliding", SQL_SLIDING)
 def win_sliding(spark: SparkSession, sf: str) -> DataFrame:
     return (
-        T(spark, sf, "events")
+        events_ltz(spark, sf)
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type")
         .agg(F.count("*").alias("n"))
-        .select(F.col("win.start").cast("string").alias("window_start"), "event_type", "n")
+        .select(F.unix_micros("win.start").alias("window_start_us"), "event_type", "n")
     )
 
 
 @q("win_session", SQL_SESSION)
 def win_session(spark: SparkSession, sf: str) -> DataFrame:
     return (
-        T(spark, sf, "events")
+        events_ltz(spark, sf)
         .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select(
             "user_id",
-            F.col("win.start").cast("string").alias("session_start"),
-            F.col("win.end").cast("string").alias("session_end"),
+            F.unix_micros("win.start").alias("session_start_us"),
+            F.unix_micros("win.end").alias("session_end_us"),
             "n_events",
         )
     )

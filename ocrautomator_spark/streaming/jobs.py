@@ -26,6 +26,10 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+# ts is read as TIMESTAMP (LTZ): watermarks require it, and the parquet's
+# naive micros become instant micros unchanged. All window boundaries are
+# therefore epoch-aligned, and outputs are emitted as unix_micros INTEGERS —
+# immune to whatever session timezone the caller's SparkSession uses.
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType(), True),
@@ -85,7 +89,7 @@ def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg,
         "complete",
         lambda df: df.select(
-            F.col("win.start").cast("string").alias("window_start"), "event_type", "n"
+            F.unix_micros("win.start").alias("window_start_us"), "event_type", "n"
         ),
     )
 
@@ -101,7 +105,7 @@ def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg,
         "complete",
         lambda df: df.select(
-            F.col("win.start").cast("string").alias("window_start"), "event_type", "n"
+            F.unix_micros("win.start").alias("window_start_us"), "event_type", "n"
         ),
     )
 
@@ -119,8 +123,8 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "complete",
         lambda df: df.select(
             "user_id",
-            F.col("win.start").cast("string").alias("session_start"),
-            F.col("win.end").cast("string").alias("session_end"),
+            F.unix_micros("win.start").alias("session_start_us"),
+            F.unix_micros("win.end").alias("session_end_us"),
             "n_events",
         ),
     )
