@@ -1,15 +1,21 @@
 """Extraction-engine query entries (the engine's core capability, §2A/§2E).
 
-These run the full distributed extract pipeline; the kernel is not
-SQL-expressible, so the driver records rows-only checks here — the REAL
-equality gate is tests/test_equality_harness.py (sequential kernel vs Spark,
-100% per-turn text/span equality)."""
+These run the FULL distributed extract pipeline (salted repartition →
+mapInArrow kernel → ordered output). Because ``documents.text`` is clean
+single-paragraph plain text (verified: no newlines, no double spaces, no edge
+whitespace at every scale factor), the kernel's plain path is exact identity
+— which makes the whole pipeline's output SQL-expressible, so the driver's
+DuckDB gate checks the real extraction job, not just a smoke run. The
+markup-payload behavior is covered by the sequential-vs-distributed equality
+harness (tests/test_equality_harness.py) and the golden corpus.
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ocrautomator_spark.kernel.extractor import EXTRACTOR_VERSION
 from ocrautomator_spark.spark.extract_job import documents_as_transcripts, flagship, run_extract
 
 QUERIES = {}
@@ -26,15 +32,39 @@ def q(name: str, oracle: str | None = None):
     return deco
 
 
-@q("extract_flagship")
+@q(
+    "extract_flagship",
+    """
+    SELECT lang, 'plain' AS payload_kind,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS chars_in,
+           CAST(SUM(length(text)) AS BIGINT) AS chars_out,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
 def extract_flagship(spark: SparkSession, sf: str) -> DataFrame:
     return flagship(spark, sf)
 
 
-@q("extract_full")
+@q(
+    "extract_full",
+    f"""
+    SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+           CAST(0 AS INT) AS turn_idx,
+           'plain' AS payload_kind,
+           text AS extracted_text,
+           CAST(1 AS INT) AS n_spans,
+           '{EXTRACTOR_VERSION}' AS extractor_version,
+           CAST(length(text) AS INT) AS n_chars_in,
+           CAST(length(text) AS INT) AS n_chars_out
+    FROM documents
+    """,
+)
 def extract_full(spark: SparkSession, sf: str) -> DataFrame:
     """Full extracted table over documents-as-transcripts: keys + extracted
-    text + spans + lineage/metrics columns (spans flattened for the check)."""
+    text + spans + lineage columns (nondeterministic lineage — partition id,
+    batch latency — excluded from the checked projection)."""
     ext = run_extract(documents_as_transcripts(spark, sf))
     return ext.select(
         "conv_id",
@@ -50,10 +80,12 @@ def extract_full(spark: SparkSession, sf: str) -> DataFrame:
 
 @q(
     "extract_span_stats",
-    # span GEOMETRY is kernel-defined, but span COUNTS by kind reduce to plain
-    # text statistics the oracle can check: every documents row is plain text
-    # (one content span per blank-line-separated paragraph, no markup)
-    None,
+    """
+    SELECT 'content' AS kind,
+           COUNT(*) AS n_spans,
+           CAST(SUM(length(text)) AS BIGINT) AS covered_chars
+    FROM documents
+    """,
 )
 def extract_span_stats(spark: SparkSession, sf: str) -> DataFrame:
     ext = run_extract(documents_as_transcripts(spark, sf))
