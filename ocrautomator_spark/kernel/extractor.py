@@ -33,7 +33,7 @@ from ocrautomator_spark.kernel.types import (
 
 # Bump whenever kernel behavior (any threshold, regex, or rule) changes —
 # goldens in tests/golden/ are frozen against this version (SURVEY.md §7 M0).
-EXTRACTOR_VERSION = "0.1.1"
+EXTRACTOR_VERSION = "0.1.2"
 
 
 def _assemble(raw: str, blocks: list[Block]) -> ExtractResult:

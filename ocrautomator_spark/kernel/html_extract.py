@@ -40,6 +40,7 @@ BLOCK_TAGS = frozenset(
 )
 SKIP_TAGS = frozenset("script style noscript head svg template iframe".split())
 CHROME_TAGS = frozenset("nav aside footer header".split())
+TABLE_STRUCTURE_TAGS = frozenset("thead tbody tfoot tr td th caption colgroup col".split())
 VOID_TAGS = frozenset("br img hr input meta link area base col embed source track wbr".split())
 HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6 title".split())
 
@@ -113,6 +114,7 @@ def segment_html(raw: str) -> list[Block]:
     heading_depth = 0
     li_depth = 0
     chrome_depth = 0
+    table_depth = 0
 
     for m in _TOKEN.finditer(raw):
         tok = m.group(0)
@@ -141,7 +143,7 @@ def segment_html(raw: str) -> list[Block]:
                     seg.kind = KIND_CODE
                 elif heading_depth:
                     seg.kind = KIND_HEADING
-                elif li_depth:
+                elif li_depth or table_depth:
                     seg.kind = KIND_LIST
                 seg.kind_set = True
                 seg.in_chrome_block = chrome_depth > 0
@@ -172,6 +174,17 @@ def segment_html(raw: str) -> list[Block]:
         if skip_depth:
             continue
 
+        if table_depth and name in TABLE_STRUCTURE_TAGS:
+            # inside a <table>, structural tags are cell/row separators, not
+            # block boundaries: the whole table becomes ONE candidate block
+            # (a data table in a turn payload is content; a link-farm layout
+            # table still dies on link ratio)
+            if seg.parts:
+                if closing and name == "tr":
+                    seg.parts.append("\n")
+                elif closing or name in ("td", "th"):
+                    seg.parts.append(" ")
+            continue
         if name in BLOCK_TAGS:
             seg.flush()
             if not selfclosing:
@@ -184,6 +197,8 @@ def segment_html(raw: str) -> list[Block]:
                     heading_depth = heading_depth + d if heading_depth + d > 0 else 0
                 elif name == "li":
                     li_depth = li_depth + d if li_depth + d > 0 else 0
+                elif name == "table":
+                    table_depth = table_depth + d if table_depth + d > 0 else 0
         else:
             if name == "a" and not selfclosing:
                 if closing:

@@ -178,3 +178,48 @@ def test_span_validity_on_synth_corpus():
                 assert s.start >= prev_end, "spans overlap or out of order"
                 prev_end = s.end
             assert r.extracted_text.strip() or not r.spans
+
+
+DATA_TABLE = """<html><body>
+<p>The quarterly figures are summarized in the table below for every region
+that reported complete data during the period.</p>
+<table>
+<tr><th>Region</th><th>Volume</th><th>Change</th></tr>
+<tr><td>North harbor</td><td>1240</td><td>up twelve percent</td></tr>
+<tr><td>South basin</td><td>987</td><td>down three percent</td></tr>
+</table>
+</body></html>"""
+
+
+def test_data_table_kept_as_single_list_block():
+    r = extract_one(DATA_TABLE)
+    assert r.payload_kind == "html"
+    table_spans = [s for s in r.spans if s.kind == "list"]
+    assert len(table_spans) == 1, "a data table should be one aggregated block"
+    assert "North harbor" in r.extracted_text and "987" in r.extracted_text
+    assert "up twelve percent" in r.extracted_text
+
+
+def test_link_farm_table_dropped():
+    rows = "".join(
+        f'<tr><td><a href="/{i}">Link {i}</a></td><td><a href="/x{i}">More {i}</a></td></tr>'
+        for i in range(6)
+    )
+    page = (
+        "<html><body><p>Genuine paragraph content with plenty of real words to"
+        " keep around for the reader of this page today.</p>"
+        f"<table>{rows}</table></body></html>"
+    )
+    r = extract_one(page)
+    assert "Genuine paragraph content" in r.extracted_text
+    assert "Link 0" not in r.extracted_text, "layout/link table must be dropped"
+
+
+def test_blockquote_is_content():
+    page = (
+        "<html><body><p>Introductory sentence with several real words in it for"
+        " context here.</p><blockquote>The quoted passage carries the actual"
+        " meaning and must survive extraction intact.</blockquote></body></html>"
+    )
+    r = extract_one(page)
+    assert "quoted passage carries the actual meaning" in r.extracted_text
