@@ -448,6 +448,30 @@ def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", F.array_min(grams).alias("fingerprint"))
 
 
+@q(
+    "embedding_quantize",
+    """
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(greatest(-128, least(127, floor(CAST(x AS DOUBLE) * 127.0))) AS INT)) AS q8,
+           CAST(list_sum(list_transform(embedding, x -> CAST(greatest(-128, least(127, floor(CAST(x AS DOUBLE) * 127.0))) AS INT))) AS BIGINT) AS q8_sum
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 vector quantization (×4 storage/bandwidth cut for the 100 TB ANN
+    path): scale-clamp-floor, exact integer semantics on both engines."""
+    e = T(spark, sf, "embeddings").filter(F.col("vec_id") < 100)
+    q8 = F.transform(
+        "embedding",
+        lambda x: F.greatest(F.lit(-128), F.least(F.lit(127), F.floor(x.cast("double") * 127.0))).cast("int"),
+    )
+    return e.select(
+        "vec_id",
+        q8.alias("q8"),
+        F.aggregate(q8, F.lit(0).cast("long"), lambda acc, v: acc + v).alias("q8_sum"),
+    )
+
+
 # character-bigram profiles per language (tiny, deterministic, public-knowledge
 # heuristic); real profiles would be learned — the OPERATOR is what matters
 _LANG_PROFILES = {
