@@ -1,0 +1,101 @@
+"""Conversation-level operators vs a sequential pandas reference (same
+pattern as the extraction equality harness: pure-python truth, window-function
+implementation under test)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from ocrautomator_spark.spark.conversation import (
+    conversation_stats,
+    merge_consecutive_same_role,
+    response_latency,
+    span_kind_profile,
+    turn_gaps,
+)
+from ocrautomator_spark.spark.extract_job import run_extract
+from ocrautomator_spark.spark.synth_job import synth_transcripts_df
+from ocrautomator_spark.synth.transcripts import gen_pandas
+
+N = 30
+
+
+@pytest.fixture(scope="module")
+def pdf_ref():
+    return gen_pandas(N)
+
+
+@pytest.fixture(scope="module")
+def sdf(spark):
+    return synth_transcripts_df(spark, N).cache()
+
+
+def test_turn_gaps(spark, sdf, pdf_ref):
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["gap_sec"], r["transition"])
+        for r in turn_gaps(sdf).collect()
+    }
+    for conv_id, g in pdf_ref.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        prev_ts, prev_role = None, None
+        for row in g.itertuples():
+            gap, trans = got[(conv_id, row.turn_idx)]
+            if prev_ts is None:
+                assert gap is None
+                assert trans == row.role  # concat_ws drops the null side
+            else:
+                assert gap == pytest.approx((row.ts - prev_ts).total_seconds())
+                assert trans == f"{prev_role}->{row.role}"
+            prev_ts, prev_role = row.ts, row.role
+
+
+def test_response_latency_only_user_assistant(sdf):
+    rows = response_latency(sdf).collect()
+    assert rows, "synthetic conversations always contain user->assistant pairs"
+    assert all(5.0 <= r["response_sec"] <= 300.0 for r in rows), "gaps are 5–300 s by construction"
+
+
+def test_conversation_stats(sdf, pdf_ref):
+    got = {r["conv_id"]: r for r in conversation_stats(sdf).collect()}
+    assert len(got) == pdf_ref["conv_id"].nunique()
+    for conv_id, g in pdf_ref.groupby("conv_id"):
+        r = got[conv_id]
+        assert r["n_turns"] == len(g)
+        assert r["n_user"] == (g["role"] == "user").sum()
+        assert r["n_tool"] == (g["role"] == "tool").sum()
+        assert r["total_chars"] == g["text"].str.len().sum()
+        assert r["duration_sec"] == pytest.approx((g["ts"].max() - g["ts"].min()).total_seconds())
+
+
+def test_merge_consecutive_same_role(spark):
+    from datetime import datetime
+
+    rows = [
+        ("c", 0, "user", "hi", None, datetime(2025, 1, 1, 0, 0, 0)),
+        ("c", 1, "user", "are you there", None, datetime(2025, 1, 1, 0, 0, 5)),
+        ("c", 2, "assistant", "yes", None, datetime(2025, 1, 1, 0, 0, 9)),
+        ("c", 3, "user", "ok", None, datetime(2025, 1, 1, 0, 1, 0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out = sorted(
+        (r["turn_idx"], r["role"], r["text"], r["n_merged"])
+        for r in merge_consecutive_same_role(df).collect()
+    )
+    assert out == [
+        (0, "user", "hi\n\nare you there", 2),
+        (2, "assistant", "yes", 1),
+        (3, "user", "ok", 1),
+    ]
+
+
+def test_span_kind_profile(spark, sdf):
+    ext = run_extract(sdf, n_partitions=4)
+    prof = span_kind_profile(ext)
+    assert set(prof.columns) == {"conv_id", "content", "heading", "code", "list"}
+    rows = prof.collect()
+    assert len(rows) == sdf.select("conv_id").distinct().count()
+    assert sum(r["code"] for r in rows) > 0, "mixed_markup payloads produce code spans"
+    assert all(r["content"] >= 0 for r in rows)
