@@ -113,6 +113,48 @@ def win_range_frame(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "win_merge_runs",
+    """
+    WITH l AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                    OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS new_run
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT user_id, event_type, ts,
+             SUM(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM l
+    )
+    SELECT user_id, event_type, epoch_us(MIN(ts)) AS run_start_us, COUNT(*) AS n_run
+    FROM g GROUP BY user_id, event_type, run_id
+    """,
+)
+def win_merge_runs(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands: merge consecutive same-type events per user into
+    runs — the same windowed pattern `conversation.merge_consecutive_same_role`
+    uses for double-texting repair (no per-group pandas materialization)."""
+    from ocrautomator_spark.queries.windows import events_ltz
+
+    e = events_ltz(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_run = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    run_id = F.sum(new_run).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        e.withColumn("_run", run_id)
+        .groupBy("user_id", "event_type", "_run")
+        .agg(F.unix_micros(F.min("ts")).alias("run_start_us"), F.count("*").alias("n_run"))
+        .drop("_run")
+    )
+
+
+@q(
     "agg_percentile",
     """
     SELECT l_returnflag,
