@@ -113,6 +113,28 @@ def win_range_frame(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "win_distribution",
+    """
+    SELECT o_custkey, o_orderkey,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def win_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution window functions — exact integer-ratio doubles, so the
+    oracle matches bit-for-bit."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return T(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@q(
     "win_merge_runs",
     """
     WITH l AS (
