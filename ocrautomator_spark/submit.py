@@ -35,6 +35,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--partitions", type=int, default=None, help="shuffle partitions per chunk")
     p.add_argument("--master", default=None, help="override master (default: existing session/local)")
     p.add_argument("--run-id", default=None)
+    p.add_argument(
+        "--concurrency", type=int, default=1,
+        help="chunk jobs submitted in parallel (2-4 keeps a large cluster saturated)",
+    )
     args = p.parse_args(argv)
 
     from ocrautomator_spark.spark.pipeline import run_pipeline
@@ -53,7 +57,8 @@ def main(argv: list[str] | None = None) -> int:
     io = ParquetManifestIO(args.output)
     done_before = len(io.committed_buckets())
     manifests = run_pipeline(
-        df, io, n_buckets=args.buckets, n_partitions=args.partitions, run_id=args.run_id
+        df, io, n_buckets=args.buckets, n_partitions=args.partitions,
+        run_id=args.run_id, max_concurrent=args.concurrency,
     )
     summary = {
         "resumed_from": done_before,

@@ -72,3 +72,16 @@ def test_torn_manifest_is_not_committed(tmp_path):
     io = ParquetManifestIO(str(tmp_path / "t"))
     (io.manifest_dir / "bucket-00001.json").write_text('{"bucke')  # torn write
     assert io.committed_buckets() == set()
+
+
+def test_concurrent_chunks_equal_serial(spark, tmp_path):
+    """max_concurrent>1 (driver threads submitting chunk jobs in parallel)
+    must produce exactly the serial pipeline's output and manifests."""
+    inp = synth_transcripts_df(spark, 18)
+    serial_io = ParquetManifestIO(str(tmp_path / "ser"))
+    run_pipeline(inp, serial_io, n_buckets=4, n_partitions=4, run_id="s")
+    conc_io = ParquetManifestIO(str(tmp_path / "con"))
+    manifests = run_pipeline(inp, conc_io, n_buckets=4, n_partitions=4, run_id="c", max_concurrent=3)
+    assert len(manifests) == 4
+    assert _sorted_rows(conc_io.read(spark)) == _sorted_rows(serial_io.read(spark))
+    assert sum(int(m["rows"]) for m in manifests) == inp.count()

@@ -1,0 +1,70 @@
+"""Watermark late-data semantics — the part of Structured Streaming the
+batch twins can't show: in append mode, an event arriving after the watermark
+has passed its window is DROPPED; an in-watermark late event still counts."""
+
+from __future__ import annotations
+
+import uuid
+from datetime import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from ocrautomator_spark.streaming.jobs import EVENTS_SCHEMA
+
+
+def _write_events(path, rows):
+    arr = {
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    }
+    pq.write_table(pa.table(arr), path)
+
+
+def test_append_mode_drops_late_beyond_watermark(spark, tmp_path):
+    indir = tmp_path / "in"
+    indir.mkdir()
+    t = lambda h, m: datetime(2024, 1, 1, h, m)
+
+    # batch 1: events in hours 10 and 12 → max event time 12:30,
+    # watermark (10 min) = 12:20 → the 10:00 window can be finalized
+    _write_events(str(indir / "f1.parquet"), [
+        (1, t(10, 5), 1, "a"), (2, t(10, 20), 1, "a"), (3, t(12, 30), 1, "a"),
+    ])
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_micros("win.start").alias("ws"), "n")
+    )
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck")).start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one event at 10:40 — its 10:00 window is already sealed
+        # (watermark 12:20 > window end 11:00) → must be dropped
+        _write_events(str(indir / "f2.parquet"), [(4, t(10, 40), 1, "a")])
+        q.processAllAvailable()
+        # batch 3: advance event time far enough to flush remaining windows
+        _write_events(str(indir / "f3.parquet"), [(5, t(15, 0), 1, "a")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["ws"]: r["n"] for r in spark.table(name).collect()}
+    h10 = int(datetime(2024, 1, 1, 10).timestamp() * 1e6)
+    h12 = int(datetime(2024, 1, 1, 12).timestamp() * 1e6)
+    assert got.get(h10) == 2, f"late event must NOT be counted: {got}"
+    assert got.get(h12) == 1
