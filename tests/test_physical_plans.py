@@ -99,3 +99,21 @@ def test_salted_repartition_balances_skew(spark):
         f"salting must reduce the hottest partition: {mx_salted} !< {mx_unsalted} (total {total})"
     )
     assert mx_salted <= total / 16 * 2.5, "salted partitions should be near-balanced"
+
+
+def test_dedup_embedding_candidates_are_equi_join(spark):
+    """The candidate stage must be an equi-join on the LSH bucket — never a
+    BroadcastNestedLoopJoin / cartesian on an inequality condition."""
+    plan = _plan(POQ["dedup_embedding_cosine"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Cartesian" not in plan
+
+
+def test_dedup_exact_shuffles_fixed_width_key(spark):
+    """The dedup shuffle must carry the md5 grouping key, not the payload:
+    partial aggregation collapses to (key, min, count) before the exchange."""
+    plan = _plan(POQ["dedup_exact"](spark, SF_DIR))
+    assert "partial_" in plan, "map-side partial agg missing — shuffle would carry payloads"
+    # the exchange hashes the md5 grouping expression, not the text column
+    exch = plan.split("Arguments: hashpartitioning")[1].splitlines()[0]
+    assert "text" not in exch

@@ -64,3 +64,51 @@ def test_simhash_band_guarantee():
         bands_b = [(other >> (16 * i)) & 0xFFFF for i in range(4)]
         assert any(x == y for x, y in zip(bands_a, bands_b))
     _ = itertools
+
+
+def test_minhash_hot_bucket_cap_bounds_degenerate_corpus(spark):
+    """A corpus of k near-identical docs puts all k in every band bucket —
+    without the cap the self-join emits ~k² pairs. With MAX_BAND_BUCKET the
+    candidate stage drops the degenerate buckets instead of exploding."""
+    from ocrautomator_spark.queries import pipeline_ops as po
+
+    k = po.MAX_BAND_BUCKET * 4
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(k),
+            "text": ["alpha beta gamma delta epsilon zeta eta theta"] * k,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    orig = po.T
+    try:
+        po.T = lambda s, sf, name: df
+        n_pairs = po.QUERIES["dedup_minhash_lsh"](spark, "unused").count()
+    finally:
+        po.T = orig
+    # identical docs share identical signatures → every band bucket has k
+    # members (> MAX_BAND_BUCKET) → all dropped → zero candidate pairs,
+    # rather than k*(k-1)/2 ≈ 32k pairs
+    assert n_pairs == 0, f"hot-bucket cap failed: {n_pairs} pairs emitted"
+
+
+def test_minhash_cap_keeps_small_buckets(spark):
+    """Sanity: genuinely small duplicate groups still pair up under the cap."""
+    from ocrautomator_spark.queries import pipeline_ops as po
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the river bank today",
+        "the quick brown fox jumps over the lazy dog near the river bank tonight",
+        "completely different words about astronomy telescopes and distant galaxies",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    orig = po.T
+    try:
+        po.T = lambda s, sf, name: df
+        rows = po.QUERIES["dedup_minhash_lsh"](spark, "unused").collect()
+    finally:
+        po.T = orig
+    pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert (0, 1) in pairs, f"near-identical pair not detected: {pairs}"
+    assert all(2 not in p for p in pairs)
