@@ -16,15 +16,27 @@ to string on both sides.
 from __future__ import annotations
 
 from ocrautomator_spark.queries import (
+    conversation_q,
     extraction,
     pipeline_ops,
     relational,
     relational2,
     scalars,
+    scale_demo,
     udfs,
     windows,
 )
 
-_MODULES = [relational, relational2, scalars, windows, udfs, pipeline_ops, extraction]
+_MODULES = [
+    relational,
+    relational2,
+    scalars,
+    windows,
+    udfs,
+    pipeline_ops,
+    extraction,
+    conversation_q,
+    scale_demo,
+]
 QUERIES = {k: v for m in _MODULES for k, v in m.QUERIES.items()}
 ORACLES = {k: v for m in _MODULES for k, v in m.ORACLES.items()}

@@ -1,0 +1,157 @@
+"""Conversation-level operators (spark/conversation.py) wired to the driver
+gate.
+
+The driver's table set has no transcripts parquet, so the queries run the
+REAL conversation operators over a deterministic transcripts-shaped adapter
+of the ``events`` table (user_id → conv_id, row_number by (ts, event_id) →
+turn_idx, event_type → role/text). The adapter is plain SQL on both engines,
+so the window/gaps-and-islands semantics of conversation.py get hash-exact
+DuckDB oracles.
+
+Timestamp discipline: events are read with the explicit LTZ schema the
+streaming jobs use (naive parquet micros become instant micros unchanged) and
+every emitted time value is epoch-microsecond arithmetic — bit-identical
+under any session timezone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocrautomator_spark.spark import conversation as conv
+from ocrautomator_spark.streaming import jobs as sj
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# events → transcripts shape; roles chosen so consecutive same-role runs
+# exist (click/view both map to 'user'), which makes the run-merge non-trivial
+SQL_T = """
+    SELECT CAST(user_id AS VARCHAR) AS conv_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+           CASE WHEN event_type IN ('click', 'view') THEN 'user'
+                WHEN event_type = 'error' THEN 'tool'
+                ELSE 'assistant' END AS role,
+           event_type || ' ' || props AS text,
+           ts
+    FROM events
+"""
+
+
+def events_as_transcripts(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = spark.read.schema(sj.EVENTS_SCHEMA).parquet(f"{sf}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type").isin("click", "view"), "user")
+        .when(F.col("event_type") == "error", "tool")
+        .otherwise("assistant")
+        .alias("role"),
+        F.concat_ws(" ", "event_type", "props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        "ts",
+    )
+
+
+@q(
+    "conv_turn_gaps",
+    f"""
+    WITH t AS ({SQL_T})
+    SELECT conv_id, turn_idx, role,
+           (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) / 1000000.0 AS gap_sec,
+           concat_ws('->', LAG(role) OVER w, role) AS transition
+    FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    """,
+)
+def conv_turn_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    return conv.turn_gaps(events_as_transcripts(spark, sf))
+
+
+@q(
+    "conv_response_latency",
+    f"""
+    WITH t AS ({SQL_T}),
+    g AS (
+      SELECT conv_id, turn_idx,
+             (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) / 1000000.0 AS gap_sec,
+             concat_ws('->', LAG(role) OVER w, role) AS transition
+      FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+    SELECT conv_id, turn_idx, gap_sec AS response_sec
+    FROM g WHERE transition = 'user->assistant'
+    """,
+)
+def conv_response_latency(spark: SparkSession, sf: str) -> DataFrame:
+    return conv.response_latency(events_as_transcripts(spark, sf))
+
+
+@q(
+    "conv_stats",
+    f"""
+    WITH t AS ({SQL_T})
+    SELECT conv_id, COUNT(*) AS n_turns,
+           (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0 AS duration_sec,
+           SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user,
+           SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant,
+           SUM(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool,
+           SUM(length(text)) AS total_chars
+    FROM t GROUP BY conv_id
+    """,
+)
+def conv_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return conv.conversation_stats(events_as_transcripts(spark, sf))
+
+
+@q(
+    "conv_merge_runs",
+    f"""
+    WITH t AS ({SQL_T}),
+    l AS (
+      SELECT *, CASE WHEN LAG(role) OVER w IS NULL OR LAG(role) OVER w <> role
+                     THEN 1 ELSE 0 END AS new_run
+      FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+    g AS (
+      SELECT *, SUM(new_run) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                   ROWS UNBOUNDED PRECEDING) AS run
+      FROM l)
+    SELECT conv_id, MIN(turn_idx) AS turn_idx, MIN(role) AS role,
+           string_agg(text, chr(10) || chr(10) ORDER BY turn_idx) AS text,
+           epoch_us(MIN(ts)) AS ts_us, COUNT(*) AS n_merged
+    FROM g GROUP BY conv_id, run
+    """,
+)
+def conv_merge_runs(spark: SparkSession, sf: str) -> DataFrame:
+    out = conv.merge_consecutive_same_role(events_as_transcripts(spark, sf))
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.unix_micros("ts").alias("ts_us"),
+        "n_merged",
+    )
+
+
+@q("conv_span_profile")  # runs the real extract spine → rows-only
+def conv_span_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-kind distribution per conversation over the REAL extraction
+    output (pivot over exploded spans) — exercises conversation.py on top of
+    the extract job end-to-end."""
+    from ocrautomator_spark.spark.extract_job import documents_as_transcripts, run_extract
+
+    ext = run_extract(documents_as_transcripts(spark, sf))
+    return conv.span_kind_profile(ext)

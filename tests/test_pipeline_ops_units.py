@@ -112,3 +112,83 @@ def test_minhash_cap_keeps_small_buckets(spark):
     pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
     assert (0, 1) in pairs, f"near-identical pair not detected: {pairs}"
     assert all(2 not in p for p in pairs)
+
+
+def test_multiprobe_recall_on_real_corpus(spark):
+    """recall@10 ≥ 0.9 vs the exact brute-force top-k at the driver's scale
+    (this corpus's neighbors sit at cos≈0.5, hence PROBE_RADIUS=4 — see the
+    ann_lsh_multiprobe docstring for the calibration math)."""
+    from ocrautomator_spark.queries import pipeline_ops as po
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["vec_id"] for r in po.QUERIES["ann_cosine_topk"](spark, sf).collect()}
+    multi = {r["vec_id"] for r in po.QUERIES["ann_lsh_multiprobe"](spark, sf).collect()}
+    recall = len(exact & multi) / len(exact)
+    assert recall >= 0.9, f"multiprobe recall@10 = {recall}"
+
+
+def test_multiprobe_radius1_in_high_similarity_regime(spark):
+    """The regime LSH is FOR: planted neighbors at cos ≥ 0.99 are found by
+    radius-1 probing (9/256 buckets ≈ 3.5% of data) with high recall, while
+    single-probe (radius 0) misses boundary-straddling neighbors."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from ocrautomator_spark.queries import pipeline_ops as po
+
+    def detvec(i, dim=64):
+        return [
+            int.from_bytes(hashlib.blake2b(f"v|{i}|{j}".encode(), digest_size=8).digest(), "big")
+            / 2**63
+            - 1.0
+            for j in range(dim)
+        ]
+
+    q = detvec(0)
+    rows = [(0, q)]
+    # 10 planted near-neighbors: tiny deterministic perturbations of q
+    for k in range(1, 11):
+        w = detvec(1000 + k)
+        rows.append((k, [a + 0.05 * b for a, b in zip(q, w)]))
+    # 200 random distractors
+    rows += [(100 + i, detvec(i + 1)) for i in range(200)]
+    e = spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    found_r1 = {
+        r["vec_id"]
+        for r in po._lsh_topk_multiprobe(e, radius=1).collect()
+    }
+    planted = set(range(1, 11))
+    recall = len(found_r1 & planted) / 10
+    assert recall >= 0.9, f"radius-1 recall on planted neighbors = {recall}"
+
+
+def test_cluster_keeper_on_handbuilt_graph(spark):
+    """Connected components over a hand-built pair graph: a path a-b-c, a
+    2-cycle d-e, and a singleton f resolve to min-id keepers."""
+    import pandas as pd
+
+    from ocrautomator_spark.queries import pipeline_ops as po
+
+    # docs engineered so 3-gram jaccard links exactly: (10,11), (11,12), (20,21)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = {
+        10: base + " one",
+        11: base + " two",          # shares most grams with 10 and 12
+        12: base + " three",
+        20: "red orange yellow green blue indigo violet pink " * 2,
+        21: "red orange yellow green blue indigo violet pink " * 2 + "extra",
+        30: "completely unrelated words about submarine navigation systems gyroscope",
+    }
+    pdf = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    df = spark.createDataFrame(pdf)
+    orig = po.T
+    try:
+        po.T = lambda s, sf, name: df
+        out = {r["doc_id"]: r["keeper"] for r in po.QUERIES["dedup_cluster_keeper"](spark, "unused").collect()}
+    finally:
+        po.T = orig
+    assert out[10] == 10 and out[11] == 10 and out[12] == 10, f"path cluster: {out}"
+    assert out[20] == 20 and out[21] == 20, f"cycle cluster: {out}"
+    assert out[30] == 30, f"singleton: {out}"

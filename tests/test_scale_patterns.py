@@ -104,3 +104,24 @@ def test_aqe_coalesces_tiny_shuffle(spark):
     assert parts < int(spark.conf.get("spark.sql.shuffle.partitions")), (
         f"AQE should coalesce tiny shuffles, got {parts} partitions"
     )
+
+
+def test_bucketed_query_entry_plan_has_no_exchange(spark):
+    """The driver-gated join_bucketed_colocated entry: no Exchange (and no
+    Sort beyond the bucket sort) feeding the SortMergeJoin."""
+    from ocrautomator_spark.queries.scale_demo import QUERIES as SQ
+
+    plan = _plan(SQ["join_bucketed_colocated"](spark, SF_DIR))
+    assert "SortMergeJoin" in plan
+    before_agg = plan.split("HashAggregate")[0]
+    join_idx = before_agg.find("SortMergeJoin")
+    assert "Exchange" not in before_agg[:join_idx] and "Exchange" not in before_agg[join_idx:], (
+        "bucketed co-located join must not shuffle either side"
+    )
+
+
+def test_dpp_query_entry_plan_prunes(spark):
+    from ocrautomator_spark.queries.scale_demo import QUERIES as SQ
+
+    plan = _plan(SQ["join_dpp_partitioned"](spark, SF_DIR))
+    assert "dynamicpruning" in plan.lower(), "dynamic partition pruning not planned"
