@@ -2,25 +2,35 @@
 """Benchmark harness (SURVEY.md §6 protocol; driver contract: prints ONE JSON
 line with metric/value/unit/queries/sf).
 
-Two parts:
+Three parts:
 1. EXTRACTION SCALING — the graft metric (BASELINE.json:2): the full extract
-   job (read → salted repartition → mapInPandas → sortWithinPartitions →
+   job (read → salted repartition → mapInArrow → sortWithinPartitions →
    parquet write) over a deterministic synthetic transcripts table, run in a
-   COLD JVM subprocess at local[8] and local[N] (N=SPARK_GRAFT_CPUS, default
-   32) — the driver-sanctioned stand-in for N vs 4N executors. Reports
-   turns/sec at both and scaling efficiency (target ≥ 0.8). The input is
-   sized for ≥60 s of work at local[8] so Python-worker startup noise doesn't
-   flatter the small run.
-2. HEADLINE QUERIES — representative operators from SURVEY.md §2B at
+   COLD JVM subprocess at local[N] and local[4N] (the driver-sanctioned
+   stand-in for N vs 4N executors; default 4 vs 16, taskset-pinned so each
+   "executor" has a fixed core budget). Reps are INTERLEAVED small/big so a
+   co-tenant steal window hits both sides equally, best (min-wall) per side
+   is the capability estimate, and a >10% wall spread triggers up to 2 extra
+   rep pairs.
+2. HARDWARE CEILING — the same-window pure-Python control: the extraction
+   kernel alone in pinned N vs 4N worker processes over a sample of the same
+   input. This box's 4→16 ceiling FLUCTUATES with co-tenant load (measured
+   0.59–0.80 across windows); reporting it beside the Spark number separates
+   "Spark plumbing cost" from "shared-VM physics": spark_relative_efficiency
+   = scaling_efficiency / python_ceiling_efficiency.
+3. HEADLINE QUERIES — representative operators from SURVEY.md §2B at
    $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[N], timed
-   against a noop sink (measures compute, not driver collect).
+   against a noop sink (measures compute, not driver collect), after one
+   untimed warmup query that absorbs JVM codegen + Python-worker start.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_BENCH_CONVS
-(default 36000 ≈ 1.7M turns), SPARK_GRAFT_BENCH_SKIP_SCALING=1.
+(default 36000 ≈ 1.7M turns), SPARK_GRAFT_BENCH_REPS (default 3),
+SPARK_GRAFT_BENCH_BASE (default 4), SPARK_GRAFT_BENCH_SKIP_SCALING=1.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import pathlib
@@ -37,10 +47,12 @@ BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "36000"))
 # budget (taskset 0..cores-1), because unpinned local[N] lets JVM helper
 # threads and Python workers borrow the host's idle cores, silently inflating
 # small-N throughput — a real N-core executor has no spare cores to borrow.
-# BASELINE.md records the measured hardware ceiling for this box.
 SMALL_CORES = int(os.environ.get("SPARK_GRAFT_BENCH_BASE", "4"))
 BIG_CORES = min(SMALL_CORES * 4, CPUS)
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+SPREAD_LIMIT = 0.10   # wall spread that triggers extra rep pairs
+MAX_EXTRA_PAIRS = 2
+CEILING_TURNS = 400_000  # sample size for the pure-Python control
 
 HEADLINE = [
     "agg_hash",
@@ -53,7 +65,9 @@ HEADLINE = [
     "doc_fingerprint",
     "text_quality",
     "dedup_minhash_lsh",
+    "dedup_cluster_keeper",
     "ann_cosine_topk",
+    "conv_merge_runs",
     "extract_flagship",
 ]
 
@@ -110,46 +124,139 @@ def _run_worker_once(cores: int, input_path: pathlib.Path) -> dict:
     raise RuntimeError(f"bench worker local[{cores}] failed:\n{proc.stderr[-3000:]}")
 
 
-def _run_worker(cores: int, input_path: pathlib.Path) -> dict:
-    """Best (min wall) of REPS cold-JVM runs — min is the right estimator for
-    capability on a steal-prone shared VM (BASELINE.md protocol)."""
-    runs = [_run_worker_once(cores, input_path) for _ in range(REPS)]
-    best = min(runs, key=lambda r: r["wall"])
-    best["walls"] = [round(r["wall"], 2) for r in runs]
-    return best
+def _spread(runs: list[dict]) -> float:
+    walls = [r["wall"] for r in runs]
+    return (max(walls) - min(walls)) / min(walls)
+
+
+def _run_scaling(input_path: pathlib.Path) -> dict:
+    """Interleaved small/big cold-JVM rep pairs; min wall per side is the
+    capability estimate (the right estimator on a steal-prone shared VM)."""
+    small_runs: list[dict] = []
+    big_runs: list[dict] = []
+    for _ in range(REPS):
+        small_runs.append(_run_worker_once(SMALL_CORES, input_path))
+        big_runs.append(_run_worker_once(BIG_CORES, input_path))
+    extra = 0
+    while (
+        (_spread(small_runs) > SPREAD_LIMIT or _spread(big_runs) > SPREAD_LIMIT)
+        and extra < MAX_EXTRA_PAIRS
+    ):
+        small_runs.append(_run_worker_once(SMALL_CORES, input_path))
+        big_runs.append(_run_worker_once(BIG_CORES, input_path))
+        extra += 1
+    small = min(small_runs, key=lambda r: r["wall"])
+    big = min(big_runs, key=lambda r: r["wall"])
+    tps_small = small["rows"] / small["wall"]
+    tps_big = big["rows"] / big["wall"]
+    return {
+        "rows": small["rows"],
+        "wall_small": small["wall"],
+        "wall_big": big["wall"],
+        "tps_small": tps_small,
+        "tps_big": tps_big,
+        "walls_small": [round(r["wall"], 2) for r in small_runs],
+        "walls_big": [round(r["wall"], 2) for r in big_runs],
+        "efficiency": (tps_big / tps_small) / (BIG_CORES / SMALL_CORES),
+    }
+
+
+# ---- pure-Python hardware-ceiling control (same input, same pinning) ----
+
+_CEILING_TEXTS: list[str] = []
+
+
+def _ceiling_work(args: tuple[int, int]) -> float:
+    lo, hi = args
+    from ocrautomator_spark.kernel.extractor import extract_one
+
+    for t in _CEILING_TEXTS[lo:hi]:
+        extract_one(t)
+    return hi - lo
+
+
+def _ceiling_run(nproc: int) -> float:
+    """Turns/sec of the bare kernel in ``nproc`` pinned fork workers."""
+    from multiprocessing import get_context
+
+    old_aff = os.sched_getaffinity(0)
+    os.sched_setaffinity(0, set(range(nproc)))
+    try:
+        n = len(_CEILING_TEXTS)
+        nchunk = nproc * 4
+        chunks = [(i * n // nchunk, (i + 1) * n // nchunk) for i in range(nchunk)]
+        t0 = time.perf_counter()
+        with get_context("fork").Pool(nproc) as p:
+            p.map(_ceiling_work, chunks)
+        return n / (time.perf_counter() - t0)
+    finally:
+        os.sched_setaffinity(0, old_aff)
+
+
+def _python_ceiling(input_path: pathlib.Path) -> dict:
+    """Measure the box's pure-Python 4→16 scaling ceiling in the SAME time
+    window as the Spark runs (co-tenant load moves it between windows)."""
+    import pyarrow.parquet as pq
+
+    global _CEILING_TEXTS
+    texts: list[str] = []
+    for f in sorted(glob.glob(str(input_path) + "/*.parquet")):
+        texts.extend(pq.read_table(f, columns=["text"]).column("text").to_pylist())
+        if len(texts) >= CEILING_TURNS:
+            break
+    _CEILING_TEXTS = texts[:CEILING_TURNS]
+    tps = {SMALL_CORES: 0.0, BIG_CORES: 0.0}
+    for _ in range(2):  # interleaved, best-of like the Spark side
+        for cores in (SMALL_CORES, BIG_CORES):
+            tps[cores] = max(tps[cores], _ceiling_run(cores))
+    _CEILING_TEXTS = []
+    eff = (tps[BIG_CORES] / tps[SMALL_CORES]) / (BIG_CORES / SMALL_CORES)
+    return {
+        "turns": len(texts[:CEILING_TURNS]),
+        "tps_small": round(tps[SMALL_CORES], 1),
+        "tps_big": round(tps[BIG_CORES], 1),
+        "efficiency": round(eff, 3),
+    }
 
 
 def main() -> None:
     results: dict[str, float] = {}
     extras: dict[str, object] = {}
 
-    # -- part 1: extraction scaling (cold JVM per level) --
+    # -- part 1+2: extraction scaling + same-window hardware ceiling --
     if os.environ.get("SPARK_GRAFT_BENCH_SKIP_SCALING") != "1":
         input_path, gen_sec = _gen_input()
         extras["gen_sec"] = round(gen_sec, 1)
-        small = _run_worker(SMALL_CORES, input_path)
-        big = _run_worker(BIG_CORES, input_path)
-        tps_small = small["rows"] / small["wall"]
-        tps_big = big["rows"] / big["wall"]
-        eff = (tps_big / tps_small) / (BIG_CORES / SMALL_CORES)
-        results[f"extract_local{SMALL_CORES}"] = round(small["wall"], 2)
-        results[f"extract_local{BIG_CORES}"] = round(big["wall"], 2)
+        sys.path.insert(0, str(REPO))
+        sc = _run_scaling(input_path)
+        ceiling = _python_ceiling(input_path)
+        results[f"extract_local{SMALL_CORES}"] = round(sc["wall_small"], 2)
+        results[f"extract_local{BIG_CORES}"] = round(sc["wall_big"], 2)
         extras.update(
-            bench_turns=small["rows"],
-            turns_per_sec_small=round(tps_small, 1),
-            turns_per_sec_big=round(tps_big, 1),
+            bench_turns=sc["rows"],
+            turns_per_sec_small=round(sc["tps_small"], 1),
+            turns_per_sec_big=round(sc["tps_big"], 1),
             scaling_cores=[SMALL_CORES, BIG_CORES],
-            walls_small=small.get("walls"),
-            walls_big=big.get("walls"),
-            scaling_efficiency=round(eff, 3),
+            walls_small=sc["walls_small"],
+            walls_big=sc["walls_big"],
+            scaling_efficiency=round(sc["efficiency"], 3),
+            python_ceiling=ceiling,
+            spark_relative_efficiency=round(
+                sc["efficiency"] / ceiling["efficiency"], 3
+            )
+            if ceiling["efficiency"]
+            else None,
         )
 
-    # -- part 2: headline queries at SF_DIR --
+    # -- part 3: headline queries at SF_DIR --
     sys.path.insert(0, str(REPO))
     from ocrautomator_spark.queries import QUERIES
     from ocrautomator_spark.spark.session import get_spark
 
     spark = get_spark(master=f"local[{CPUS}]", app_name="bench-queries")
+    # untimed warmup: absorbs whole-stage-codegen JIT + Python worker start
+    QUERIES["agg_hash"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    QUERIES["udf_scalar_pandas"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     for name in HEADLINE:
         t0 = time.perf_counter()
         QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()

@@ -13,13 +13,11 @@ an empty result, mirroring the reference's skip-and-continue error channel
 
 from __future__ import annotations
 
-import unicodedata
-
 from ocrautomator_spark.kernel.html_extract import classify_blocks, segment_html
 from ocrautomator_spark.kernel.markup import extract_mixed, extract_plain
 from ocrautomator_spark.kernel.pdf_reflow import reflow_pdf
 from ocrautomator_spark.kernel.sniff import sniff
-from ocrautomator_spark.kernel.textutil import normalize_block_text
+from ocrautomator_spark.kernel.textutil import nfc, normalize_block_text
 from ocrautomator_spark.kernel.types import (
     KIND_CODE,
     PK_ERROR,
@@ -44,7 +42,7 @@ def _assemble(raw: str, blocks: list[Block]) -> ExtractResult:
     n = len(raw)
     for b in blocks:
         if b.kind == KIND_CODE:
-            t = unicodedata.normalize("NFC", b.text).strip("\n").rstrip()
+            t = nfc(b.text).strip("\n").rstrip()
         else:
             t = normalize_block_text(b.text)
         if not t:

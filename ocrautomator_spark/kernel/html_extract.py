@@ -47,67 +47,85 @@ HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6 title".split())
 _TOKEN = re.compile(r"<!--.*?(?:-->|$)|<!\[CDATA\[.*?(?:\]\]>|$)|<[^>]*>|[^<]+", re.S)
 _TAG_NAME = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9-]*)")
 _WS_ANY = re.compile(r"\s+")
-
-
-class _Seg:
-    """Tokenizer+segmenter state (E2+E3)."""
-
-    def __init__(self) -> None:
-        self.blocks: list[Block] = []
-        self.parts: list[str] = []       # decoded text parts of current block
-        self.part_spans: list[tuple[int, int]] = []
-        self.n_link_chars = 0
-        self.n_inline_tags = 0
-        self.kind = KIND_CONTENT
-        self.kind_set = False
-        self.in_chrome_block = False
-
-    def flush(self) -> None:
-        if not self.parts:
-            # fast path: nothing accumulated since the last block boundary
-            if self.n_inline_tags or self.kind_set:
-                self.n_inline_tags = 0
-                self.n_link_chars = 0
-                self.kind = KIND_CONTENT
-                self.kind_set = False
-                self.in_chrome_block = False
-            return
-        text = "".join(self.parts)
-        if text.strip():
-            # trim offsets to the non-whitespace extent of the block
-            lead = len(text) - len(text.lstrip())
-            trail = len(text) - len(text.rstrip())
-            start = self.part_spans[0][0]
-            end = self.part_spans[-1][1]
-            # leading/trailing ws may live entirely in first/last part; the
-            # adjustment is approximate only when entities shift lengths,
-            # which never moves offsets outside the true source region
-            first_len = self.part_spans[0][1] - self.part_spans[0][0]
-            last_len = self.part_spans[-1][1] - self.part_spans[-1][0]
-            start += min(lead, max(first_len - 1, 0))
-            end -= min(trail, max(last_len - 1, 0))
-            if start >= end:  # degenerate after trimming; fall back
-                start, end = self.part_spans[0][0], self.part_spans[-1][1]
-            b = Block(text=text, start=start, end=end, kind=self.kind)
-            b.n_words = word_count(text)
-            b.n_chars = len(text.strip())
-            b.n_link_chars = min(self.n_link_chars, b.n_chars)
-            b.n_inline_tags = self.n_inline_tags
-            if self.in_chrome_block:
-                b.label = "chrome"
-            self.blocks.append(b)
-        self.parts = []
-        self.part_spans = []
-        self.n_link_chars = 0
-        self.n_inline_tags = 0
-        self.kind = KIND_CONTENT
-        self.kind_set = False
-        self.in_chrome_block = False
+# Single-pass tokenizer for the hot loop: group 1 captures a well-formed
+# tag's name in the same pass (token extents are IDENTICAL to _TOKEN: the
+# named-tag alternative and the generic <[^>]*> both stop at the first '>',
+# so dispatch never changes — only the per-tag second regex pass and the
+# token-string allocation are saved). Group 2 is a text run.
+_TOKEN_FAST = re.compile(
+    r"<!--.*?(?:-->|$)|<!\[CDATA\[.*?(?:\]\]>|$)|"
+    r"</?\s*([a-zA-Z][a-zA-Z0-9-]*)[^>]*>|<[^>]*>|([^<]+)",
+    re.S,
+)
 
 
 def segment_html(raw: str) -> list[Block]:
-    """Tokenize raw HTML and group text runs into scored candidate blocks."""
-    seg = _Seg()
+    """Tokenize raw HTML and group text runs into scored candidate blocks.
+
+    This is the kernel's hottest loop (≈60% of per-turn time at 10^12-turn
+    scale), so it is written allocation-lean: block state lives in closure
+    locals rather than an object, the parts list is reused across blocks
+    (bound ``append``), and source spans are tracked as four scalars — only
+    the FIRST and LAST part spans ever matter to the flush trim — instead of
+    a tuple per text part. Behavior is bit-identical to the original
+    object-based segmenter (pinned by goldens + the distributed equality
+    harness).
+    """
+    blocks: list[Block] = []
+    parts: list[str] = []
+    parts_append = parts.append
+    n_link_chars = 0
+    n_inline_tags = 0
+    kind = KIND_CONTENT
+    kind_set = False
+    in_chrome = False
+    n_spans = 0
+    first_start = first_end = last_start = last_end = 0
+
+    def flush() -> None:
+        nonlocal n_link_chars, n_inline_tags, kind, kind_set, in_chrome, n_spans
+        # callers gate on `parts` non-empty; empty-state reset is inlined there
+        text = "".join(parts)
+        stripped = text.strip()
+        if stripped:
+            # trim offsets to the non-whitespace extent of the block;
+            # leading/trailing ws may live entirely in first/last part — the
+            # adjustment is approximate only when entities shift lengths,
+            # which never moves offsets outside the true source region.
+            # (the stripped block's first occurrence in text IS at the lead
+            # offset — one C find instead of lstrip+rstrip allocations)
+            lead = text.find(stripped)
+            trail = len(text) - lead - len(stripped)
+            start = first_start
+            end = last_end
+            first_len = first_end - first_start
+            last_len = last_end - last_start
+            start += min(lead, max(first_len - 1, 0))
+            end -= min(trail, max(last_len - 1, 0))
+            if start >= end:  # degenerate after trimming; fall back
+                start, end = first_start, last_end
+            n_chars = len(stripped)
+            blocks.append(
+                Block(
+                    text=text,
+                    start=start,
+                    end=end,
+                    kind=kind,
+                    n_words=len(stripped.split()),
+                    n_chars=n_chars,
+                    n_link_chars=n_link_chars if n_link_chars < n_chars else n_chars,
+                    n_inline_tags=n_inline_tags,
+                    label="chrome" if in_chrome else "",
+                )
+            )
+        parts.clear()
+        n_spans = 0
+        n_link_chars = 0
+        n_inline_tags = 0
+        kind = KIND_CONTENT
+        kind_set = False
+        in_chrome = False
+
     skip_depth = 0
     a_depth = 0
     pre_depth = 0
@@ -116,12 +134,13 @@ def segment_html(raw: str) -> list[Block]:
     chrome_depth = 0
     table_depth = 0
 
-    for m in _TOKEN.finditer(raw):
-        tok = m.group(0)
-        if tok[0] != "<":
+    for m in _TOKEN_FAST.finditer(raw):
+        last = m.lastindex
+        if last == 2:
             # text run — the common case, handled first
             if skip_depth:
                 continue
+            tok = m.group(2)
             text = _html.unescape(tok) if "&" in tok else tok
             if pre_depth == 0:
                 # C-level equivalent of _WS_ANY.sub(" ", text): collapse all
@@ -138,29 +157,36 @@ def segment_html(raw: str) -> list[Block]:
                     text = " "
             if not text:
                 continue
-            if not seg.kind_set and not text.isspace():
+            if not kind_set and not text.isspace():
                 if pre_depth:
-                    seg.kind = KIND_CODE
+                    kind = KIND_CODE
                 elif heading_depth:
-                    seg.kind = KIND_HEADING
+                    kind = KIND_HEADING
                 elif li_depth or table_depth:
-                    seg.kind = KIND_LIST
-                seg.kind_set = True
-                seg.in_chrome_block = chrome_depth > 0
-            seg.parts.append(text)
-            seg.part_spans.append((m.start(), m.end()))
+                    kind = KIND_LIST
+                kind_set = True
+                in_chrome = chrome_depth > 0
+            parts_append(text)
+            if n_spans:
+                last_start = m.start()
+                last_end = m.end()
+                n_spans += 1
+            else:
+                first_start = last_start = m.start()
+                first_end = last_end = m.end()
+                n_spans = 1
             if a_depth > 0:
-                seg.n_link_chars += len(text.strip())
+                n_link_chars += len(text.strip())
             continue
-        c1 = tok[1] if len(tok) > 1 else ""
-        if c1 == "!" or c1 == "?":
-            continue  # comment / doctype / CDATA / processing instruction
-        nm = _TAG_NAME.match(tok)
-        if not nm:
-            continue  # malformed
-        name = nm.group(1).lower()
-        closing = c1 == "/"
-        selfclosing = tok.rstrip().endswith("/>") or name in VOID_TAGS
+        if last is None:
+            continue  # comment / doctype / CDATA / PI / malformed tag
+        name = m.group(1)
+        if not name.islower():  # already-lowercase names skip the alloc
+            name = name.lower()
+        closing = raw[m.start() + 1] == "/"
+        # tag tokens always end with ">" (the regex guarantees it), so the
+        # original `tok.rstrip().endswith("/>")` reduces to one char test
+        selfclosing = raw[m.end() - 2] == "/" or name in VOID_TAGS
 
         if name in SKIP_TAGS:
             if selfclosing:
@@ -179,14 +205,22 @@ def segment_html(raw: str) -> list[Block]:
             # block boundaries: the whole table becomes ONE candidate block
             # (a data table in a turn payload is content; a link-farm layout
             # table still dies on link ratio)
-            if seg.parts:
+            if parts:
                 if closing and name == "tr":
-                    seg.parts.append("\n")
+                    parts_append("\n")
                 elif closing or name in ("td", "th"):
-                    seg.parts.append(" ")
+                    parts_append(" ")
             continue
         if name in BLOCK_TAGS:
-            seg.flush()
+            if parts:
+                flush()
+            elif n_inline_tags or kind_set:
+                # inlined empty-block reset (the old flush fast path)
+                n_inline_tags = 0
+                n_link_chars = 0
+                kind = KIND_CONTENT
+                kind_set = False
+                in_chrome = False
             if not selfclosing:
                 d = -1 if closing else 1
                 if name in CHROME_TAGS:
@@ -207,14 +241,19 @@ def segment_html(raw: str) -> list[Block]:
                 else:
                     a_depth += 1
             if name == "br":
-                seg.parts.append("\n" if pre_depth else " ")
-                if seg.part_spans:
-                    seg.part_spans[-1] = (seg.part_spans[-1][0], m.end())
+                parts_append("\n" if pre_depth else " ")
+                if n_spans:
+                    # extends the LAST part span; when only one span exists
+                    # the last span IS the first, so both ends move
+                    last_end = m.end()
+                    if n_spans == 1:
+                        first_end = last_end
                 continue
             if not closing:
-                seg.n_inline_tags += 1
-    seg.flush()
-    return seg.blocks
+                n_inline_tags += 1
+    if parts:
+        flush()
+    return blocks
 
 
 def link_ratio(b: Block) -> float:

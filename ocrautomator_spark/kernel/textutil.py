@@ -19,7 +19,9 @@ STOPWORDS = frozenset(
 
 
 def nfc(s: str) -> str:
-    return unicodedata.normalize("NFC", s)
+    # ASCII is NFC-invariant; str.isascii() is a cheap C scan that skips the
+    # normalize call for the overwhelmingly common case
+    return s if s.isascii() else unicodedata.normalize("NFC", s)
 
 
 def collapse_ws(s: str) -> str:

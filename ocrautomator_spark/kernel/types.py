@@ -38,7 +38,7 @@ class ExtractResult(NamedTuple):
     payload_kind: str
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     """A candidate content block: contiguous text with source offsets.
 

@@ -78,6 +78,47 @@ def extract_full(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+MIN_PIPE_WORDS = 8  # quality gate of the composed pipeline
+
+
+@q(
+    "pipeline_e2e",
+    f"""
+    WITH ext AS (
+      SELECT CAST(doc_id AS VARCHAR) AS conv_id, text AS extracted_text, lang
+      FROM documents),
+    kept AS (
+      SELECT * FROM ext
+      WHERE len(string_split(extracted_text, ' ')) >= {MIN_PIPE_WORDS}),
+    ded AS (
+      SELECT MIN(conv_id) AS keeper,
+             arg_min(lang, conv_id) AS lang,
+             MIN(length(extracted_text)) AS n_chars
+      FROM kept GROUP BY md5(extracted_text))
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM ded GROUP BY lang
+    """,
+)
+def pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed training-data pipeline in one job: distributed extraction
+    (salted repartition → mapInArrow kernel) → quality gate (min word count
+    on the EXTRACTED text) → exact dedup keyed on md5(extracted_text) with
+    min-conv_id keeper → per-language corpus rollup. One extraction pass, one
+    dedup shuffle on a fixed-width key, one agg — the shape a 100 TB corpus
+    build actually runs. Oracled exactly via the plain-text identity."""
+    ext = run_extract(documents_as_transcripts(spark, sf), passthrough=["lang"])
+    kept = ext.filter(F.size(F.split("extracted_text", " ")) >= MIN_PIPE_WORDS)
+    ded = kept.groupBy(F.md5(F.encode("extracted_text", "utf-8")).alias("_k")).agg(
+        F.min("conv_id").alias("keeper"),
+        F.min_by("lang", "conv_id").alias("lang"),
+        F.min(F.length("extracted_text")).alias("n_chars"),
+    )
+    return ded.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
 @q(
     "extract_span_stats",
     """
