@@ -120,6 +120,86 @@ def pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "streaming_extract",
+    f"""
+    SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+           CAST(0 AS INT) AS turn_idx,
+           'plain' AS payload_kind,
+           text AS extracted_text,
+           CAST(1 AS INT) AS n_spans,
+           '{EXTRACTOR_VERSION}' AS extractor_version,
+           CAST(length(text) AS INT) AS n_chars_in,
+           CAST(length(text) AS INT) AS n_chars_out
+    FROM documents
+    """,
+)
+def streaming_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuous extraction: documents arrive as files on a readStream, flow
+    through the SAME salted-repartition → mapInArrow kernel spine micro-batch
+    by micro-batch (streaming/extract_stream.py), and append to the sink.
+    Hash-oracled via the plain-text identity — a REAL Structured Streaming
+    execution gated on exact equality with batch SQL."""
+    import hashlib
+    import os
+    import pathlib
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ocrautomator_spark.streaming.extract_stream import extract_stream
+    from ocrautomator_spark.streaming.jobs import run_to_memory
+
+    src = pathlib.Path(sf) / "documents.parquet"
+    d = pathlib.Path("/tmp") / f"ocras_docstream_{hashlib.md5(str(src).encode()).hexdigest()[:10]}"
+    d.mkdir(exist_ok=True)
+    link = d / "documents.parquet"
+    if link.is_symlink() and not link.exists():
+        link.unlink(missing_ok=True)
+    if not link.exists():
+        try:
+            os.symlink(src, link)
+        except FileExistsError:
+            pass
+    doc_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    sdf = spark.readStream.schema(doc_schema).parquet(str(d))
+    tdf = sdf.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("2025-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    ext = extract_stream(tdf)
+    return run_to_memory(
+        ext,
+        "append",
+        lambda df: df.select(
+            "conv_id",
+            "turn_idx",
+            "payload_kind",
+            "extracted_text",
+            F.size("spans").alias("n_spans"),
+            "extractor_version",
+            "n_chars_in",
+            "n_chars_out",
+        ),
+    )
+
+
+@q(
     "extract_span_stats",
     """
     SELECT 'content' AS kind,

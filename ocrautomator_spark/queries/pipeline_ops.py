@@ -563,6 +563,59 @@ def ann_lsh_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     return _lsh_topk_multiprobe(e, PROBE_RADIUS)
 
 
+IVF_NLIST = 16   # inverted-file cells (deterministic seed centroids)
+IVF_NPROBE = 4   # cells probed per query
+
+
+@q("ann_ivf_topk")  # approximate by construction → rows-only
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF (inverted-file) ANN, the second standard scale scheme beside LSH:
+    assign every vector to its most-similar of IVF_NLIST centroids (here the
+    deterministic seed set vec_id < NLIST — a real deployment k-means-refines
+    them; the OPERATOR shape is identical), then a query scans only its
+    IVF_NPROBE nearest cells. Assignment is one broadcast of the tiny
+    centroid table + a max_by per vector; at 100 TB the cell id becomes the
+    partition key so a query touches ~NPROBE/NLIST of the data."""
+    e = (
+        T(spark, sf, "embeddings")
+        .select("vec_id", _as_double("embedding").alias("v"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    cents = e.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    csim = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    sim = e.join(F.broadcast(cents)).withColumn("csim", csim).select(
+        "vec_id", "v", "nrm", "cid", "csim"
+    )
+    # cell = argmax centroid similarity; struct max is (csim, cid)-lexicographic
+    # so ties break deterministically on the larger cid
+    assigned = sim.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("csim"), F.col("cid"))).getField("cid").alias("cell"),
+        F.first("v").alias("v"),
+        F.first("nrm").alias("nrm"),
+    )
+    qcells = (
+        sim.filter(F.col("vec_id") == ANN_QUERY_ID)
+        .orderBy(F.col("csim").desc(), F.col("cid"))
+        .limit(IVF_NPROBE)
+        .select("cid")
+    )
+    qv = e.filter(F.col("vec_id") == ANN_QUERY_ID).select(
+        F.col("v").alias("q"), F.col("nrm").alias("qn")
+    )
+    cos = _dot(F.col("v"), F.col("q")) / (F.col("nrm") * F.col("qn"))
+    return (
+        assigned.join(F.broadcast(qcells), assigned.cell == qcells.cid)
+        .filter(F.col("vec_id") != ANN_QUERY_ID)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cosine", F.round(cos, 4))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(ANN_K)
+        .select("vec_id", "cosine", F.col("cell"))
+    )
+
+
 # ------------------------------------------------------------ text analysis
 
 @q(

@@ -192,3 +192,15 @@ def test_cluster_keeper_on_handbuilt_graph(spark):
     assert out[10] == 10 and out[11] == 10 and out[12] == 10, f"path cluster: {out}"
     assert out[20] == 20 and out[21] == 20, f"cycle cluster: {out}"
     assert out[30] == 30, f"singleton: {out}"
+
+
+def test_ivf_recall_on_real_corpus(spark):
+    """IVF with NPROBE/NLIST = 4/16 cells scanned reaches full recall@10 on
+    this corpus at the driver's scale."""
+    from ocrautomator_spark.queries import pipeline_ops as po
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["vec_id"] for r in po.QUERIES["ann_cosine_topk"](spark, sf).collect()}
+    ivf = {r["vec_id"] for r in po.QUERIES["ann_ivf_topk"](spark, sf).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.9, f"IVF recall@10 = {recall}"
