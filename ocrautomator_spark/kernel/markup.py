@@ -56,31 +56,31 @@ def _mk_block(text: str, start: int, end: int, kind: str) -> Block:
 
 
 def extract_mixed(raw: str) -> list[Block]:
-    lines: list[tuple[int, int, str]] = []
+    # lines carry (start, end, raw_line, stripped): strip exactly once
+    lines: list[tuple[int, int, str, str]] = []
     pos = 0
     for ln in raw.split("\n"):
-        lines.append((pos, pos + len(ln), ln))
+        lines.append((pos, pos + len(ln), ln, ln.strip()))
         pos += len(ln) + 1
 
     blocks: list[Block] = []
-    para: list[tuple[int, int, str]] = []
+    para: list[tuple[int, int, str, str]] = []
     in_fence = False
-    fence_lines: list[tuple[int, int, str]] = []
+    fence_lines: list[tuple[int, int, str, str]] = []
 
     def flush_para() -> None:
         nonlocal para
         if para:
-            text = " ".join(strip_inline(t.strip()) for _, _, t in para).strip()
+            text = " ".join(strip_inline(p[3]) for p in para).strip()
             if text:
                 blocks.append(_mk_block(text, para[0][0], para[-1][1], KIND_CONTENT))
             para = []
 
-    for s, e, ln in lines:
-        stripped = ln.strip()
-        if _FENCE.match(stripped):
+    for s, e, ln, stripped in lines:
+        if stripped.startswith("```"):  # == _FENCE.match(stripped)
             if in_fence:
                 if fence_lines:
-                    code = "\n".join(t for _, _, t in fence_lines)
+                    code = "\n".join(f[2] for f in fence_lines)
                     blocks.append(_mk_block(code, fence_lines[0][0], fence_lines[-1][1], KIND_CODE))
                 fence_lines = []
                 in_fence = False
@@ -89,7 +89,7 @@ def extract_mixed(raw: str) -> list[Block]:
                 in_fence = True
             continue
         if in_fence:
-            fence_lines.append((s, e, ln))
+            fence_lines.append((s, e, ln, stripped))
             continue
         if not stripped:
             flush_para()
@@ -108,9 +108,9 @@ def extract_mixed(raw: str) -> list[Block]:
             if text:
                 blocks.append(_mk_block(text, s + (len(ln) - len(ln.lstrip())), e, KIND_LIST))
             continue
-        para.append((s, e, ln))
+        para.append((s, e, ln, stripped))
     if in_fence and fence_lines:  # unterminated fence: keep verbatim
-        code = "\n".join(t for _, _, t in fence_lines)
+        code = "\n".join(f[2] for f in fence_lines)
         blocks.append(_mk_block(code, fence_lines[0][0], fence_lines[-1][1], KIND_CODE))
     flush_para()
     return blocks
@@ -119,19 +119,20 @@ def extract_mixed(raw: str) -> list[Block]:
 def extract_plain(raw: str) -> list[Block]:
     """Plain text: paragraphs on blank lines, hard wraps joined — ≈ identity."""
     blocks: list[Block] = []
-    para: list[tuple[int, int, str]] = []
+    para: list[tuple[int, int, str]] = []  # (start, end, stripped)
     pos = 0
     for ln in raw.split("\n"):
         s, e = pos, pos + len(ln)
         pos += len(ln) + 1
-        if not ln.strip():
+        stripped = ln.strip()
+        if not stripped:
             if para:
-                text = " ".join(t.strip() for _, _, t in para)
+                text = " ".join(p[2] for p in para)
                 blocks.append(_mk_block(text, para[0][0], para[-1][1], KIND_CONTENT))
                 para = []
             continue
-        para.append((s, e, ln))
+        para.append((s, e, stripped))
     if para:
-        text = " ".join(t.strip() for _, _, t in para)
+        text = " ".join(p[2] for p in para)
         blocks.append(_mk_block(text, para[0][0], para[-1][1], KIND_CONTENT))
     return blocks

@@ -30,13 +30,19 @@ def _lines_with_offsets(raw: str) -> list[tuple[int, int, str]]:
 
 
 def reflow_pdf(raw: str) -> list[Block]:
-    """Return reflowed paragraph blocks with source spans."""
-    pages = []
+    """Return reflowed paragraph blocks with source spans.
+
+    Single tokenize pass: each line is stripped exactly once and carried as
+    (start, end, raw_line, stripped); paragraph text is assembled via a
+    parts list + one join (the de-hyphenation merge mutates the last part)
+    instead of quadratic string concatenation. Behavior identical to the
+    original two-pass version (goldens + equality harness)."""
+    pages: list[list[tuple[int, int, str, str]]] = []
     pos = 0
     for page in raw.split("\f"):
         lines = []
         for ln in page.split("\n"):
-            lines.append((pos, pos + len(ln), ln))
+            lines.append((pos, pos + len(ln), ln, ln.strip()))
             pos += len(ln) + 1
         pos = lines[-1][1] + 1 if lines else pos + 1  # account for the \f
         pages.append(lines)
@@ -44,26 +50,27 @@ def reflow_pdf(raw: str) -> list[Block]:
     # running header/footer detection: digit-masked signatures of the first/
     # last EDGE_LINES non-empty lines per page, recurring on ≥ MIN_REPEATS pages
     sig_pages: dict[str, set[int]] = {}
+    page_edges: list[set[int]] = []
     for pi, lines in enumerate(pages):
-        nonempty = [i for i, (_, _, t) in enumerate(lines) if t.strip()]
+        nonempty = [i for i, ln in enumerate(lines) if ln[3]]
         edges = set(nonempty[:EDGE_LINES]) | set(nonempty[-EDGE_LINES:])
+        page_edges.append(edges)
         for i in edges:
-            sig = _DIGITS.sub("#", lines[i][2].strip().lower())
+            sig = _DIGITS.sub("#", lines[i][3].lower())
             sig_pages.setdefault(sig, set()).add(pi)
     chrome_sigs = {s for s, ps in sig_pages.items() if len(ps) >= MIN_REPEATS}
 
-    paragraphs: list[list[tuple[int, int, str]]] = []
-    cur: list[tuple[int, int, str]] = []
+    paragraphs: list[list[tuple[int, int, str, str]]] = []
+    cur: list[tuple[int, int, str, str]] = []
     for pi, lines in enumerate(pages):
-        nonempty_idx = [i for i, (_, _, t) in enumerate(lines) if t.strip()]
-        edge = set(nonempty_idx[:EDGE_LINES]) | set(nonempty_idx[-EDGE_LINES:])
+        edge = page_edges[pi]
         if pi > 0 and cur:
             # page boundary ends the paragraph only after sentence punctuation
             if cur[-1][2].rstrip().endswith(_SENT_END):
                 paragraphs.append(cur)
                 cur = []
-        for i, (s, e, t) in enumerate(lines):
-            stripped = t.strip()
+        for i, ln in enumerate(lines):
+            stripped = ln[3]
             if not stripped:
                 if cur:
                     paragraphs.append(cur)
@@ -71,27 +78,35 @@ def reflow_pdf(raw: str) -> list[Block]:
                 continue
             if i in edge:
                 sig = _DIGITS.sub("#", stripped.lower())
-                if sig in chrome_sigs or PAGE_MARKER.match(stripped):
+                if sig in chrome_sigs:
                     continue
             if PAGE_MARKER.match(stripped):
                 continue
-            cur.append((s, e, t))
+            cur.append(ln)
     if cur:
         paragraphs.append(cur)
 
     blocks: list[Block] = []
     for para in paragraphs:
-        text = para[0][2].strip()
-        for _, _, t in para[1:]:
-            nxt = t.strip()
-            if text.endswith("-") and nxt and nxt[0].islower():
-                text = text[:-1] + nxt          # de-hyphenate: infor-\nmation
+        parts = [para[0][3]]
+        for ln in para[1:]:
+            nxt = ln[3]
+            prev = parts[-1]
+            if prev.endswith("-") and nxt and nxt[0].islower():
+                parts[-1] = prev[:-1] + nxt     # de-hyphenate: infor-\nmation
             else:
-                text = text + " " + nxt
+                parts.append(nxt)
+        text = " ".join(parts)
         first_s = para[0][0] + (len(para[0][2]) - len(para[0][2].lstrip()))
         last_e = para[-1][1] - (len(para[-1][2]) - len(para[-1][2].rstrip()))
-        b = Block(text=text, start=first_s, end=max(last_e, first_s + 1), kind=KIND_CONTENT)
-        b.n_words = len(text.split())
-        b.n_chars = len(text)
-        blocks.append(b)
+        blocks.append(
+            Block(
+                text=text,
+                start=first_s,
+                end=max(last_e, first_s + 1),
+                kind=KIND_CONTENT,
+                n_words=len(text.split()),
+                n_chars=len(text),
+            )
+        )
     return blocks
