@@ -453,13 +453,13 @@ LSH_PLANES = 8  # hyperplane LSH: 2^8 buckets; probe = query bucket only
 EMBED_DIM = 64  # embeddings table vector dimension (asserted at runtime)
 
 
-def _hyperplanes(dim: int) -> list[list[float]]:
+def _hyperplanes(dim: int, n: int | None = None) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from a counter hash (public
     random-projection LSH; no RNG state, reproducible on any executor)."""
     import hashlib
 
     planes = []
-    for j in range(LSH_PLANES):
+    for j in range(n if n is not None else LSH_PLANES):
         row = []
         for i in range(dim):
             h = int.from_bytes(
@@ -613,6 +613,196 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(ANN_K)
         .select("vec_id", "cosine", F.col("cell"))
+    )
+
+
+LSH_OR_TABLES = 8   # OR-construction: candidate if ANY table's bucket matches
+LSH_OR_PLANES = 3   # planes per table (2^3 buckets each)
+EMBED_PAIR_THRESHOLD = 0.45  # the moderate-similarity regime
+
+
+@q(
+    "dedup_embedding_lsh_any",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= {EMBED_PAIR_THRESHOLD}
+    """,
+)
+def dedup_embedding_lsh_any(spark: SparkSession, sf: str) -> DataFrame:
+    """OR-construction multi-table LSH for the MODERATE-similarity pair
+    regime (cos ≈ 0.45–0.6, θ ≈ 60°) where no single-table bucketing can
+    reach high recall: LSH_OR_TABLES independent hyperplane tables of
+    LSH_OR_PLANES bits each; a pair is a candidate if any table agrees, then
+    exact cosine filters. Expected recall at p = 1−θ/π ≈ 0.65 per plane:
+    1−(1−p³)^8 ≈ 0.94. Measured: 1.0 at sf0.01 (hence the exact-pair oracle
+    holds at the driver's gate scale) and 0.917 at sf0.1 (asserted ≥0.9 in
+    tests) — recall is probabilistic BY CONSTRUCTION; the oracle equality is
+    a property of this fixed corpus at gate scale, not of the operator. Each
+    vector emits one row per table (L× replication); candidates come from
+    per-(table, bucket) equi-joins — bounded, never an inequality join. The
+    honest sub-quadratic option in a regime that is otherwise brute-force."""
+    e = T(spark, sf, "embeddings").select("vec_id", _as_double("embedding").alias("v"))
+    e = e.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    # table t uses planes [t*LSH_OR_PLANES, (t+1)*LSH_OR_PLANES) of one big
+    # deterministic plane family
+    planes = _hyperplanes(EMBED_DIM, LSH_OR_TABLES * LSH_OR_PLANES)
+    tables = []
+    for t in range(LSH_OR_TABLES):
+        bucket = F.lit(0)
+        for j in range(LSH_OR_PLANES):
+            p = planes[t * LSH_OR_PLANES + j]
+            proj = _dot(F.col("v"), F.array(*[F.lit(x) for x in p]))
+            bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        tables.append(F.struct(F.lit(t).alias("tbl"), bucket.alias("bkt")))
+    banded = e.select(
+        "vec_id", "v", "nrm", F.explode(F.array(*tables)).alias("b")
+    ).select("vec_id", "v", "nrm", F.col("b.tbl").alias("tbl"), F.col("b.bkt").alias("bkt"))
+    a = banded.select(
+        "tbl", "bkt", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = banded.select(
+        "tbl", "bkt", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, ["tbl", "bkt"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "va", "vb", "na", "nb")
+        .distinct()  # a pair may match in several tables; dedup BEFORE the dot
+        .withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= EMBED_PAIR_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+ANN_BATCH_QUERIES = 5  # batch-query ANN: query set = vec_id < this
+
+
+@q(
+    "ann_batch_topk",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < {ANN_BATCH_QUERIES}),
+    s AS (SELECT q.query_id, n.vec_id,
+                 list_inner_product(n.v, q.qv) / (n.nrm * q.qn) AS c
+          FROM n, q WHERE n.vec_id <> q.query_id),
+    r AS (SELECT query_id, vec_id, c,
+                 ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rnk
+          FROM s)
+    SELECT query_id, vec_id, round(c, 4) AS cosine, rnk FROM r WHERE rnk <= {ANN_K}
+    """,
+)
+def ann_batch_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch-query ANN: many queries answered in ONE pass — the shape a
+    retrieval pipeline actually runs (per-query jobs at 100 TB would rescan
+    the corpus Q times). The tiny query set broadcasts, the corpus side is
+    scanned once, and a per-query window takes top-k. Exact, hash-oracled."""
+    from pyspark.sql.window import Window
+
+    e = (
+        T(spark, sf, "embeddings")
+        .select("vec_id", _as_double("embedding").alias("v"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    qs = e.filter(F.col("vec_id") < ANN_BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = _dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn"))
+    scored = (
+        e.join(F.broadcast(qs), F.col("vec_id") != F.col("query_id"))
+        .withColumn("c", c)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ANN_K)
+        .select("query_id", "vec_id", F.round("c", 4).alias("cosine"), "rnk")
+    )
+
+
+IVF_KMEANS_ITERS = 2
+
+
+@q("ann_ivf_kmeans_topk")  # approximate + iterative → rows-only
+def ann_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF with Lloyd-refined centroids: IVF_KMEANS_ITERS k-means iterations
+    as DataFrame jobs (assign via broadcast argmax → new centroid =
+    element-wise DECIMAL-exact mean via posexplode — order-independent, so
+    the refinement is deterministic under any partitioning), then the same
+    NPROBE-cell query path as ann_ivf_topk. The iterative-refinement loop is
+    the same driver-loop shape as dedup_cluster_keeper: each step is fully
+    distributed, the loop only sequences jobs."""
+    e = (
+        T(spark, sf, "embeddings")
+        .select("vec_id", _as_double("embedding").alias("v"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    cents = e.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    csim = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    for _ in range(IVF_KMEANS_ITERS):
+        assigned = (
+            e.join(F.broadcast(cents))
+            .withColumn("csim", csim)
+            .groupBy("vec_id")
+            .agg(
+                F.max(F.struct(F.col("csim"), F.col("cid"))).getField("cid").alias("cid"),
+                F.first("v").alias("v"),
+            )
+        )
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(
+                (F.sum(F.col("x").cast("decimal(30,10)")).cast("double") / F.count("*")).alias("m")
+            )
+        )
+        cents = (
+            means.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s.getField("m")
+                ).alias("cv")
+            )
+            .withColumn("cnrm", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+        )
+        cents = cents.localCheckpoint()
+    assigned = (
+        e.join(F.broadcast(cents))
+        .withColumn("csim", csim)
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.struct(F.col("csim"), F.col("cid"))).getField("cid").alias("cell"),
+            F.first("v").alias("v"),
+            F.first("nrm").alias("nrm"),
+        )
+    )
+    qcells = (
+        e.filter(F.col("vec_id") == ANN_QUERY_ID)
+        .join(F.broadcast(cents))
+        .withColumn("csim", csim)
+        .orderBy(F.col("csim").desc(), F.col("cid"))
+        .limit(IVF_NPROBE)
+        .select("cid")
+    )
+    qv = e.filter(F.col("vec_id") == ANN_QUERY_ID).select(
+        F.col("v").alias("q"), F.col("nrm").alias("qn")
+    )
+    cos = _dot(F.col("v"), F.col("q")) / (F.col("nrm") * F.col("qn"))
+    return (
+        assigned.join(F.broadcast(qcells), assigned.cell == qcells.cid)
+        .filter(F.col("vec_id") != ANN_QUERY_ID)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cosine", F.round(cos, 4))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(ANN_K)
+        .select("vec_id", "cosine", "cell")
     )
 
 

@@ -204,3 +204,49 @@ def test_ivf_recall_on_real_corpus(spark):
     ivf = {r["vec_id"] for r in po.QUERIES["ann_ivf_topk"](spark, sf).collect()}
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.9, f"IVF recall@10 = {recall}"
+
+
+def test_ivf_kmeans_recall_on_real_corpus(spark):
+    """Lloyd-refined IVF keeps recall@10 >= 0.9 at the driver's scale (the
+    refinement is decimal-exact elementwise means, so this is deterministic
+    under any partitioning)."""
+    from ocrautomator_spark.queries import pipeline_ops as po
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["vec_id"] for r in po.QUERIES["ann_cosine_topk"](spark, sf).collect()}
+    km = {r["vec_id"] for r in po.QUERIES["ann_ivf_kmeans_topk"](spark, sf).collect()}
+    assert len(exact & km) / len(exact) >= 0.9
+
+
+def test_or_lsh_pair_recall(spark):
+    """OR-construction LSH vs the exact pair set: full recall at the driver's
+    gate scale (sf0.01 — which is what makes the exact oracle hold there) and
+    >=0.9 at sf0.1, matching the 1-(1-p^3)^8 analysis in the docstring."""
+    import duckdb
+
+    from ocrautomator_spark.queries import pipeline_ops as po
+
+    for sf, bound in [("/root/testdata/sf0.01", 1.0), ("/root/testdata/sf0.1", 0.9)]:
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+        )
+        exact = set(
+            map(
+                tuple,
+                con.execute(
+                    """
+          WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+          n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x->x*x))) AS nrm FROM e)
+          SELECT a.vec_id, b.vec_id FROM n a JOIN n b ON a.vec_id < b.vec_id
+          WHERE list_inner_product(a.v,b.v)/(a.nrm*b.nrm) >= 0.45"""
+                ).fetchall(),
+            )
+        )
+        got = {
+            (r["vec_a"], r["vec_b"])
+            for r in po.QUERIES["dedup_embedding_lsh_any"](spark, sf).collect()
+        }
+        recall = len(got & exact) / max(len(exact), 1)
+        assert recall >= bound, f"{sf}: recall {recall} < {bound}"
+        assert got <= exact, "precision must be exact (cosine filter after candidates)"
