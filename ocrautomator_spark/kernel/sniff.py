@@ -23,24 +23,39 @@ _HYPHEN_BREAK = re.compile(r"[a-z]-\n[a-z]")
 
 
 def sniff(text: str) -> str:
-    """Classify a raw payload. Precedence: html > mixed_markup > pdf_layout > plain."""
+    """Classify a raw payload. Precedence: html > mixed_markup > pdf_layout >
+    plain. Hot path: every full-text regex scan is gated behind a C-level
+    substring test for a character the pattern requires, so the common plain
+    payload pays only cheap `in` checks — decisions are identical to the
+    ungated version (every gated pattern literally requires the gate char)."""
     if not text or not text.strip():
         return PK_PLAIN
 
+    has_lt = "<" in text
     # ≥2 block-level tags: even a two-paragraph fragment routes through the
     # HTML path (a single stray tag in prose stays plain)
-    if _DOCTYPE.search(text) or len(_BLOCK_TAG.findall(text)) >= 2:
-        return PK_HTML
+    if has_lt:
+        if _DOCTYPE.search(text):
+            return PK_HTML
+        n_block = 0
+        for _ in _BLOCK_TAG.finditer(text):  # stop at 2, don't findall
+            n_block += 1
+            if n_block >= 2:
+                return PK_HTML
 
-    md_signals = (
-        len(_MD_HEADING.findall(text))
-        + len(_MD_FENCE.findall(text))
-        + len(_MD_LIST.findall(text))
-    )
-    if md_signals >= 2 or (md_signals >= 1 and _ANY_TAG.search(text)):
+    md_signals = len(_MD_HEADING.findall(text)) if "#" in text else 0
+    if md_signals < 2 and "```" in text:
+        md_signals += len(_MD_FENCE.findall(text))
+    if md_signals < 2:
+        md_signals += len(_MD_LIST.findall(text))
+    if md_signals >= 2 or (md_signals >= 1 and has_lt and _ANY_TAG.search(text)):
         return PK_MIXED
 
-    if "\f" in text or _PAGE_MARKER.search(text) or len(_HYPHEN_BREAK.findall(text)) >= 2:
+    if (
+        "\f" in text
+        or _PAGE_MARKER.search(text)
+        or ("-\n" in text and len(_HYPHEN_BREAK.findall(text)) >= 2)
+    ):
         return PK_PDF
 
     # many hard-wrapped mid-sentence lines ⇒ pdf-style layout
