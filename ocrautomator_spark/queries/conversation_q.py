@@ -54,9 +54,21 @@ def events_as_transcripts(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = spark.read.schema(sj.EVENTS_SCHEMA).parquet(f"{sf}/events.parquet")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
+    # project conv_id FIRST and window over the attribute itself, so the
+    # turn-numbering exchange is hashpartitioning(conv_id) and every
+    # downstream per-conversation window (turn_gaps, run-merge) REUSES it
+    # instead of re-shuffling — one shuffle for the whole
+    # conversation-analytics family (plan-tested)
+    ev = ev.select(
         F.col("user_id").cast("string").alias("conv_id"),
+        "ts",
+        "event_id",
+        "event_type",
+        "props",
+    )
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    return ev.select(
+        "conv_id",
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.when(F.col("event_type").isin("click", "view"), "user")
         .when(F.col("event_type") == "error", "tool")

@@ -701,7 +701,10 @@ def ann_batch_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Batch-query ANN: many queries answered in ONE pass — the shape a
     retrieval pipeline actually runs (per-query jobs at 100 TB would rescan
     the corpus Q times). The tiny query set broadcasts, the corpus side is
-    scanned once, and a per-query window takes top-k. Exact, hash-oracled."""
+    scanned once, and a per-query window takes top-k. Exact, hash-oracled.
+    The BroadcastNestedLoopJoin here is intentional and linear: the broadcast
+    side is the CONSTANT-size query set (cost Q·n), unlike the quadratic
+    corpus-vs-corpus inequality join the dedup operators forbid."""
     from pyspark.sql.window import Window
 
     e = (

@@ -117,3 +117,15 @@ def test_dedup_exact_shuffles_fixed_width_key(spark):
     # the exchange hashes the md5 grouping expression, not the text column
     exch = plan.split("Arguments: hashpartitioning")[1].splitlines()[0]
     assert "text" not in exch
+
+
+def test_conversation_family_reuses_one_exchange(spark):
+    """The events→transcripts adapter windows over the conv_id attribute
+    itself, so turn numbering + downstream per-conversation windows share ONE
+    hashpartitioning exchange."""
+    from ocrautomator_spark.queries.conversation_q import QUERIES as CQ
+
+    for name in ("conv_turn_gaps", "conv_merge_runs", "conv_response_latency"):
+        plan = _plan(CQ[name](spark, SF_DIR))
+        n = plan.count("Arguments: hashpartitioning")
+        assert n == 1, f"{name}: expected 1 hash exchange, saw {n}"
