@@ -375,14 +375,33 @@ def dedup_cluster_keeper(spark: SparkSession, sf: str) -> DataFrame:
     round instead of growing exponentially. Oracle: DuckDB recursive-CTE
     transitive closure — exact at test scale."""
     pairs = dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
+    labels = _cc_min_label(pairs)
+    docs = T(spark, sf, "documents").select("doc_id")
+    return (
+        docs.join(labels, docs.doc_id == labels.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("lbl", "doc_id").alias("keeper"),
+        )
+        .withColumn(
+            "is_keeper", F.when(F.col("keeper") == F.col("doc_id"), 1).otherwise(0)
+        )
+    )
+
+
+def _cc_min_label(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
+    """Connected components by min-label propagation over an undirected pair
+    set: returns (node, lbl) where lbl = min node id in the component.
+    Each round is one distributed join+agg; converges in graph-diameter
+    rounds (property-tested against a pure-Python BFS reference)."""
     edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        pairs.select(pairs.columns[1], pairs.columns[0])
     ).toDF("src", "dst")
     edges = edges.localCheckpoint()  # the edge set is reused every round
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
-    for _ in range(25):  # >> diameter of any dup cluster
+    for _ in range(max_rounds):
         msgs = edges.join(labels.withColumnRenamed("node", "src"), "src").select(
             F.col("dst").alias("node"), "lbl"
         )
@@ -397,17 +416,7 @@ def dedup_cluster_keeper(spark: SparkSession, sf: str) -> DataFrame:
         labels = new
         if changed == 0:
             break
-    docs = T(spark, sf, "documents").select("doc_id")
-    return (
-        docs.join(labels, docs.doc_id == labels.node, "left")
-        .select(
-            "doc_id",
-            F.coalesce("lbl", "doc_id").alias("keeper"),
-        )
-        .withColumn(
-            "is_keeper", F.when(F.col("keeper") == F.col("doc_id"), 1).otherwise(0)
-        )
-    )
+    return labels
 
 
 # ------------------------------------------------------------ similarity search

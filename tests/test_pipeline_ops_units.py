@@ -250,3 +250,52 @@ def test_or_lsh_pair_recall(spark):
         recall = len(got & exact) / max(len(exact), 1)
         assert recall >= bound, f"{sf}: recall {recall} < {bound}"
         assert got <= exact, "precision must be exact (cosine filter after candidates)"
+
+
+def test_cc_min_label_matches_bfs_on_random_graphs(spark):
+    """Property: the distributed min-label loop equals a pure-Python BFS
+    connected-components reference on seeded random graphs (including
+    multi-component, cyclic, and chain-heavy shapes)."""
+    import random
+
+    from ocrautomator_spark.queries.pipeline_ops import _cc_min_label
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = 60
+        edges = set()
+        # random sparse edges + a long chain (worst-case diameter)
+        for _ in range(45):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        chain = rng.sample(range(n), 12)
+        for x, y in zip(chain, chain[1:]):
+            edges.add((min(x, y), max(x, y)))
+
+        # reference: BFS components, label = min node
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        expected = {}
+        seen: set[int] = set()
+        for start in sorted(adj):
+            if start in seen:
+                continue
+            comp, stack = [], [start]
+            seen.add(start)
+            while stack:
+                u = stack.pop()
+                comp.append(u)
+                for v in adj[u]:
+                    if v not in seen:
+                        seen.add(v)
+                        stack.append(v)
+            m = min(comp)
+            for u in comp:
+                expected[u] = m
+
+        pairs = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+        got = {r["node"]: r["lbl"] for r in _cc_min_label(pairs).collect()}
+        assert got == expected, f"seed {seed}: CC mismatch"
