@@ -44,7 +44,7 @@ SQL_T = """
            CASE WHEN event_type IN ('click', 'view') THEN 'user'
                 WHEN event_type = 'error' THEN 'tool'
                 ELSE 'assistant' END AS role,
-           event_type || ' ' || props AS text,
+           concat_ws(' ', event_type, props) AS text,  -- NULL-skipping, matches F.concat_ws
            ts
     FROM events
 """

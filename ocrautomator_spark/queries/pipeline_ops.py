@@ -123,8 +123,10 @@ LSH_ROWS = MINHASH_K // LSH_BANDS
 MINHASH_EST_THRESHOLD = 0.5
 # hot-bucket guard: a band bucket of k docs emits k² candidate pairs, so a
 # degenerate corpus (many near-identical short docs) would blow up the
-# self-join; buckets above this size are dropped before pairing (the band-
-# bucket analogue of the MAX_DF stop-gram guard).
+# self-join. Buckets above this size switch from all-pairs to a STAR join —
+# every member pairs with the bucket's min doc_id — which keeps the group
+# connected (O(k) edges, so downstream connected-components still recovers
+# the whole duplicate cluster) while bounding the work.
 MAX_BAND_BUCKET = 64
 
 
@@ -148,35 +150,53 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
             for b in range(LSH_BANDS)
         ]
     )
-    sigd = sigs.select("doc_id", sig_arr.alias("sig"), F.explode(bands).alias("b")).select(
-        "doc_id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    # materialize the signature lineage ONCE: it feeds the bucket stats, the
+    # anti-join, both self-join sides, and the hub lookup below
+    sigd = (
+        sigs.select("doc_id", sig_arr.alias("sig"), F.explode(bands).alias("b"))
+        .select("doc_id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+        .localCheckpoint()
     )
-    # hot-bucket cap: the set of over-full buckets is tiny by construction
-    # (each drops ≥ MAX_BAND_BUCKET docs), so it broadcasts; a doc pair in a
-    # dropped bucket is still found via any of its other LSH_BANDS-1 bands.
+    # hot buckets (tiny by construction — each holds > MAX_BAND_BUCKET docs)
     hot = (
         sigd.groupBy("band", "bh")
-        .agg(F.count("*").alias("n"))
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("hub"))
         .filter(F.col("n") > MAX_BAND_BUCKET)
-        .select("band", "bh")
+        .select("band", "bh", "hub")
     )
-    sigd = sigd.join(F.broadcast(hot), ["band", "bh"], "left_anti")
-    a, b = sigd.alias("a"), sigd.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+    # normal buckets: all-pairs within the bucket
+    cold = sigd.join(F.broadcast(hot.select("band", "bh")), ["band", "bh"], "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    cand_cold = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.sig").alias("sa"),
+        F.col("b.sig").alias("sb"),
+    )
+    # hot buckets: star join to the bucket's min doc_id (hub < member always,
+    # so (hub, member) is already ordered); O(k) edges keep the duplicate
+    # cluster connected for downstream connected-components
+    hubs = hot.select("hub").distinct()
+    hub_sig = sigd.select("doc_id", "sig").join(
+        F.broadcast(hubs), F.col("doc_id") == F.col("hub")
+    ).select("hub", F.col("sig").alias("hub_sig")).distinct()
+    cand_hot = (
+        sigd.join(F.broadcast(hot), ["band", "bh"])
+        .filter(F.col("doc_id") != F.col("hub"))
+        .join(F.broadcast(hub_sig), "hub")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sa"),
-            F.col("b.sig").alias("sb"),
+            F.col("hub").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.col("hub_sig").alias("sa"),
+            F.col("sig").alias("sb"),
         )
-        .distinct()
     )
+    cand = cand_cold.union(cand_hot).distinct()
     agree = F.aggregate(
         F.zip_with("sa", "sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0),
@@ -255,7 +275,9 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 COSINE_DUP_THRESHOLD = 0.98  # true near-dup territory — where LSH blocking works
-DUP_PLANT_OFFSET = 1_000_000  # planted duplicate ids = vec_id + this
+# planted duplicate ids live in the NEGATIVE id space (-vec_id - 1): disjoint
+# from any non-negative real id at any table size, unlike a fixed offset
+PLANT_ID = "-vec_id - 1"
 
 
 def _as_double(col):  # array<float> → array<double>, cast before any math
@@ -270,7 +292,7 @@ def _dot(a, b):
     "dedup_embedding_cosine",
     f"""
     WITH base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-    dup AS (SELECT vec_id + {DUP_PLANT_OFFSET} AS vec_id, list_transform(v, x -> x * 1.5) AS v
+    dup AS (SELECT {PLANT_ID} AS vec_id, list_transform(v, x -> x * 1.5) AS v
             FROM base WHERE vec_id % 3 = 0),
     e AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
     n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
@@ -289,7 +311,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     near-duplicates (every 3rd vector scaled by 1.5 under a shifted id), so
     true near-dups exist at any scale factor. Sign-LSH buckets are scale-
     invariant, so recall on colinear dups is exactly 100% by construction and
-    the exact O(n²) DuckDB oracle stays a hash-exact gate. (At the old 0.45
+    the exact O(n²) DuckDB oracle stays a hash-exact gate. (The oracle
+    contract additionally relies on the corpus having no NATURAL pair at
+    cos ≥ 0.98 — true here by a wide margin, max natural cosine ≈ 0.60; a
+    natural pair that close could straddle a bucket boundary. On a corpus
+    where such pairs exist, use the multi-table OR construction of
+    dedup_embedding_lsh_any as the candidate generator instead.) (At the old 0.45
     threshold pairs sit at θ≈60° where NO sub-quadratic candidate generator
     can reach full recall — that regime is brute-force-or-approximate by
     nature; ann_cosine_topk covers it.) The oracle's pair join is quadratic
@@ -297,7 +324,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     """
     base = T(spark, sf, "embeddings").select("vec_id", _as_double("embedding").alias("v"))
     dup = base.filter(F.col("vec_id") % 3 == 0).select(
-        (F.col("vec_id") + F.lit(DUP_PLANT_OFFSET)).alias("vec_id"),
+        F.expr(PLANT_ID).alias("vec_id"),
         F.transform("v", lambda x: x * 1.5).alias("v"),
     )
     e = base.unionAll(dup)
@@ -390,10 +417,13 @@ def dedup_cluster_keeper(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _cc_min_label(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
-    """Connected components by min-label propagation over an undirected pair
-    set: returns (node, lbl) where lbl = min node id in the component.
-    Each round is one distributed join+agg; converges in graph-diameter
-    rounds (property-tested against a pure-Python BFS reference)."""
+    """Connected components by min-label propagation + pointer jumping over
+    an undirected pair set: returns (node, lbl) where lbl = min node id in
+    the component. Each round propagates neighbor labels one hop, then
+    shortcuts every label to its label's label — O(log diameter) rounds, so
+    max_rounds=25 covers astronomically long chains. Raises (never returns
+    silently-wrong labels) if the fixpoint is not reached. Property-tested
+    against a pure-Python BFS reference, including a 40-node chain."""
     edges = pairs.union(
         pairs.select(pairs.columns[1], pairs.columns[0])
     ).toDF("src", "dst")
@@ -406,6 +436,11 @@ def _cc_min_label(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
             F.col("dst").alias("node"), "lbl"
         )
         new = labels.union(msgs).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        # pointer jumping: lbl ← label(lbl); halves remaining chain depth
+        ref = new.select(F.col("node").alias("lbl"), F.col("lbl").alias("lbl2"))
+        new = new.join(ref, "lbl", "left").select(
+            "node", F.coalesce("lbl2", "lbl").alias("lbl")
+        )
         new = new.localCheckpoint()
         changed = (
             new.withColumnRenamed("lbl", "new_lbl")
@@ -415,8 +450,12 @@ def _cc_min_label(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
         )
         labels = new
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected components did not converge within {max_rounds} rounds "
+        "(pointer jumping makes this bound ~2^25 chain depth; the input pair "
+        "graph is pathological or corrupted)"
+    )
 
 
 # ------------------------------------------------------------ similarity search

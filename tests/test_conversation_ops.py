@@ -99,3 +99,40 @@ def test_span_kind_profile(spark, sdf):
     assert len(rows) == sdf.select("conv_id").distinct().count()
     assert sum(r["code"] for r in rows) > 0, "mixed_markup payloads produce code spans"
     assert all(r["content"] >= 0 for r in rows)
+
+
+def test_adapter_text_matches_oracle_on_null_props(spark, tmp_path):
+    """NULL props must produce identical text on both engines (concat_ws is
+    NULL-skipping on both; a NULL-propagating `||` oracle would diverge)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocrautomator_spark.queries import conversation_q as cq
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2], pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000 + i * 60_000_000 for i in range(3)], pa.timestamp("us")),
+            "user_id": pa.array([7, 7, 7], pa.int64()),
+            "event_type": pa.array(["click", "view", "purchase"]),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "props": pa.array(['{"k": 1}', None, '{"k": 2}']),  # NULL in the middle
+        }
+    )
+    d = tmp_path / "sfnull"
+    d.mkdir()
+    pq.write_table(tbl, d / "events.parquet")
+
+    spark_rows = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in cq.events_as_transcripts(spark, str(d)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    oracle_rows = sorted(
+        (r[0], r[1], r[2])
+        for r in con.execute(f"SELECT conv_id, turn_idx, text FROM ({cq.SQL_T})").fetchall()
+    )
+    assert spark_rows == oracle_rows
+    assert spark_rows[1][2] == "view"  # NULL props → just the event type

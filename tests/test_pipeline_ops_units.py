@@ -67,9 +67,10 @@ def test_simhash_band_guarantee():
 
 
 def test_minhash_hot_bucket_cap_bounds_degenerate_corpus(spark):
-    """A corpus of k near-identical docs puts all k in every band bucket —
-    without the cap the self-join emits ~k² pairs. With MAX_BAND_BUCKET the
-    candidate stage drops the degenerate buckets instead of exploding."""
+    """A corpus of k identical docs puts all k in every band bucket — without
+    the cap the self-join emits ~k² pairs. With the star-join cap the group
+    stays CONNECTED (every member pairs with the bucket's min doc_id) at
+    exactly k-1 edges instead of k*(k-1)/2 ≈ 32k."""
     from ocrautomator_spark.queries import pipeline_ops as po
 
     k = po.MAX_BAND_BUCKET * 4
@@ -83,13 +84,14 @@ def test_minhash_hot_bucket_cap_bounds_degenerate_corpus(spark):
     orig = po.T
     try:
         po.T = lambda s, sf, name: df
-        n_pairs = po.QUERIES["dedup_minhash_lsh"](spark, "unused").count()
+        rows = po.QUERIES["dedup_minhash_lsh"](spark, "unused").collect()
     finally:
         po.T = orig
-    # identical docs share identical signatures → every band bucket has k
-    # members (> MAX_BAND_BUCKET) → all dropped → zero candidate pairs,
-    # rather than k*(k-1)/2 ≈ 32k pairs
-    assert n_pairs == 0, f"hot-bucket cap failed: {n_pairs} pairs emitted"
+    pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert pairs == {(0, j) for j in range(1, k)}, (
+        f"expected star to doc 0 with {k - 1} edges, got {len(pairs)} pairs"
+    )
+    assert all(r["est_jaccard"] == 1.0 for r in rows)
 
 
 def test_minhash_cap_keeps_small_buckets(spark):
@@ -269,7 +271,7 @@ def test_cc_min_label_matches_bfs_on_random_graphs(spark):
             a, b = rng.randrange(n), rng.randrange(n)
             if a != b:
                 edges.add((min(a, b), max(a, b)))
-        chain = rng.sample(range(n), 12)
+        chain = rng.sample(range(n), 40)  # diameter ≫ rounds without jumping
         for x, y in zip(chain, chain[1:]):
             edges.add((min(x, y), max(x, y)))
 
