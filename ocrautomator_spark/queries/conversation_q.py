@@ -158,11 +158,21 @@ def conv_merge_runs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@q("conv_span_profile")  # runs the real extract spine → rows-only
+@q(
+    "conv_span_profile",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+           CAST(1 AS BIGINT) AS content, CAST(0 AS BIGINT) AS heading,
+           CAST(0 AS BIGINT) AS code, CAST(0 AS BIGINT) AS "list"
+    FROM documents
+    """,
+)
 def conv_span_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Span-kind distribution per conversation over the REAL extraction
-    output (pivot over exploded spans) — exercises conversation.py on top of
-    the extract job end-to-end."""
+    output (explode spans → pivot kinds) — exercises conversation.py on top
+    of the extract job end-to-end. Hash-oracled via the plain-text identity:
+    every clean single-paragraph document extracts to exactly one content
+    span and zero heading/code/list spans."""
     from ocrautomator_spark.spark.extract_job import documents_as_transcripts, run_extract
 
     ext = run_extract(documents_as_transcripts(spark, sf))

@@ -538,7 +538,36 @@ def _lsh_bucket(v, planes: list[list[float]] | None = None):
     )
 
 
-@q("ann_lsh_topk")  # approximate by construction → rows-only
+def _lsh_bucket_sql(vcol: str = "v") -> str:
+    """DuckDB expression computing the SAME bucket id as ``_lsh_bucket``:
+    the deterministic hyperplanes are inlined as float literals (repr() is
+    shortest-round-trip, so DuckDB parses the bit-identical double), and
+    list_inner_product matches the Spark fold's summation order (proven by
+    the cosine oracles). This lets the LSH SEMANTICS themselves be
+    hash-gated, not just a lucky recall."""
+    terms = []
+    for j, p in enumerate(_hyperplanes(EMBED_DIM)):
+        arr = "[" + ", ".join(repr(x) for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_inner_product({vcol}, {arr}) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_ANN_LSH_SQL = f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    n1 AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+    n AS (SELECT vec_id, v, nrm, {{BUCKET}} AS bucket FROM n1),
+    q AS (SELECT v AS qv, nrm AS qn, bucket AS qb FROM n WHERE vec_id = {ANN_QUERY_ID})
+    SELECT n.vec_id, round(list_inner_product(n.v, q.qv) / (n.nrm * q.qn), 4) AS cosine, n.bucket
+    FROM n, q
+    WHERE n.bucket = q.qb AND n.vec_id <> {ANN_QUERY_ID}
+    ORDER BY list_inner_product(n.v, q.qv) / (n.nrm * q.qn) DESC, n.vec_id
+    LIMIT {ANN_K}
+    """
+
+
+@q("ann_lsh_topk", _ANN_LSH_SQL.replace("{BUCKET}", _lsh_bucket_sql("v")))
 def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Scale-path ANN: random-hyperplane LSH bucketing (sign bits of 8
     projections → 256 buckets), then exact cosine only within the query's
@@ -596,7 +625,27 @@ def _lsh_topk_multiprobe(e: DataFrame, radius: int, query_id: int = ANN_QUERY_ID
     )
 
 
-@q("ann_lsh_multiprobe")  # approximate by construction → rows-only
+_MULTIPROBE_SQL = f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    n1 AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+    n AS (SELECT vec_id, v, nrm, {{BUCKET}} AS bucket FROM n1),
+    q AS (SELECT v AS qv, nrm AS qn, bucket AS qb FROM n WHERE vec_id = {ANN_QUERY_ID}),
+    probes AS (SELECT xor(q.qb, m.m) AS pb, q.qv, q.qn
+               FROM q, UNNEST({{MASKS}}) AS m(m))
+    SELECT n.vec_id, round(list_inner_product(n.v, p.qv) / (n.nrm * p.qn), 4) AS cosine, n.bucket
+    FROM n JOIN probes p ON n.bucket = p.pb
+    WHERE n.vec_id <> {ANN_QUERY_ID}
+    ORDER BY list_inner_product(n.v, p.qv) / (n.nrm * p.qn) DESC, n.vec_id
+    LIMIT {ANN_K}
+    """
+
+
+def _multiprobe_oracle() -> str:
+    masks = "[" + ", ".join(str(m) for m in _probe_masks(PROBE_RADIUS)) + "]"
+    return _MULTIPROBE_SQL.replace("{BUCKET}", _lsh_bucket_sql("v")).replace("{MASKS}", masks)
+
+
+@q("ann_lsh_multiprobe", _multiprobe_oracle())
 def ann_lsh_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-probe LSH ANN: probe every bucket within Hamming-``PROBE_RADIUS``
     of the query's bucket, fixing single-probe's recall cliff at bucket
@@ -615,7 +664,27 @@ IVF_NLIST = 16   # inverted-file cells (deterministic seed centroids)
 IVF_NPROBE = 4   # cells probed per query
 
 
-@q("ann_ivf_topk")  # approximate by construction → rows-only
+@q(
+    "ann_ivf_topk",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+    cents AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < {IVF_NLIST}),
+    sim AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
+                   list_inner_product(n.v, c.cv) / (n.nrm * c.cnrm) AS csim
+            FROM n CROSS JOIN cents c),
+    asg AS (SELECT vec_id, v, nrm, cid AS cell FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid DESC) AS rn
+              FROM sim) WHERE rn = 1),
+    qc AS (SELECT cid FROM sim WHERE vec_id = {ANN_QUERY_ID} ORDER BY csim DESC, cid LIMIT {IVF_NPROBE}),
+    q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = {ANN_QUERY_ID})
+    SELECT a.vec_id, round(list_inner_product(a.v, q.qv) / (a.nrm * q.qn), 4) AS cosine, a.cell
+    FROM asg a JOIN qc ON a.cell = qc.cid CROSS JOIN q
+    WHERE a.vec_id <> {ANN_QUERY_ID}
+    ORDER BY list_inner_product(a.v, q.qv) / (a.nrm * q.qn) DESC, a.vec_id
+    LIMIT {ANN_K}
+    """,
+)
 def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF (inverted-file) ANN, the second standard scale scheme beside LSH:
     assign every vector to its most-similar of IVF_NLIST centroids (here the
