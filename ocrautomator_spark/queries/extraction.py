@@ -139,41 +139,11 @@ def streaming_extract(spark: SparkSession, sf: str) -> DataFrame:
     by micro-batch (streaming/extract_stream.py), and append to the sink.
     Hash-oracled via the plain-text identity — a REAL Structured Streaming
     execution gated on exact equality with batch SQL."""
-    import hashlib
-    import os
-    import pathlib
-
-    from pyspark.sql.types import (
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
     from ocrautomator_spark.streaming.extract_stream import extract_stream
     from ocrautomator_spark.streaming.jobs import run_to_memory
 
-    src = pathlib.Path(sf) / "documents.parquet"
-    d = pathlib.Path("/tmp") / f"ocras_docstream_{hashlib.md5(str(src).encode()).hexdigest()[:10]}"
-    d.mkdir(exist_ok=True)
-    link = d / "documents.parquet"
-    if link.is_symlink() and not link.exists():
-        link.unlink(missing_ok=True)
-    if not link.exists():
-        try:
-            os.symlink(src, link)
-        except FileExistsError:
-            pass
-    doc_schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("text", StringType()),
-            StructField("lang", StringType()),
-            StructField("source", StringType()),
-            StructField("n_chars", LongType()),
-        ]
-    )
-    sdf = spark.readStream.schema(doc_schema).parquet(str(d))
+    d = _symlink_dir(sf, ["documents.parquet"])
+    sdf = spark.readStream.schema(_doc_schema()).parquet(d)
     tdf = sdf.select(
         F.col("doc_id").cast("string").alias("conv_id"),
         F.lit(0).cast("int").alias("turn_idx"),
@@ -196,6 +166,72 @@ def streaming_extract(spark: SparkSession, sf: str) -> DataFrame:
             "n_chars_in",
             "n_chars_out",
         ),
+    )
+
+
+def _symlink_dir(sf: str, names: list[str]) -> str:
+    """Idempotent tmp dir exposing sf/documents.parquet under the given link
+    names (the file streaming source requires a DIRECTORY; multiple links
+    make the same corpus 'arrive' that many times)."""
+    import hashlib
+    import os
+    import pathlib
+
+    src = pathlib.Path(sf) / "documents.parquet"
+    key = hashlib.md5(f"{src}|{','.join(names)}".encode()).hexdigest()[:10]
+    d = pathlib.Path("/tmp") / f"ocras_docstream_{key}"
+    d.mkdir(exist_ok=True)
+    for name in names:
+        link = d / name
+        if link.is_symlink() and not link.exists():
+            link.unlink(missing_ok=True)
+        if not link.exists():
+            try:
+                os.symlink(src, link)
+            except FileExistsError:
+                pass
+    return str(d)
+
+
+def _doc_schema():
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    return StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+
+
+@q(
+    "streaming_dedup_docs",
+    """
+    SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_docs
+    FROM documents
+    """,
+)
+def streaming_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental corpus dedup as a REAL streaming job: the corpus 'arrives'
+    TWICE (two file links), gets deduplicated by md5(text) — the fixed-width
+    content key — via dropDuplicates inside the stream, and the sink count
+    must equal batch COUNT(DISTINCT md5(text)): without working stateful
+    dedup the result would be 2×. On a real cluster this is the continuous
+    ingest-side dedup in front of the extract pipeline."""
+    from ocrautomator_spark.streaming.jobs import run_to_memory
+
+    d = _symlink_dir(sf, ["copy1.parquet", "copy2.parquet"])
+    sdf = spark.readStream.schema(_doc_schema()).parquet(d)
+    deduped = sdf.select(
+        "doc_id", F.md5(F.encode("text", "utf-8")).alias("k")
+    ).dropDuplicates(["k"])
+    return run_to_memory(
+        deduped,
+        "append",
+        lambda df: df.agg(F.count_distinct("k").alias("n_unique_docs")),
     )
 
 

@@ -926,6 +926,56 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "ann_quantized_topk",
+    f"""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(greatest(-128, least(127, floor(CAST(x AS DOUBLE) * 127.0))) AS BIGINT)) AS q8
+               FROM embeddings),
+    n AS (SELECT vec_id, q8,
+                 sqrt(CAST(list_sum(list_transform(q8, x -> x * x)) AS DOUBLE)) AS nrm
+          FROM e),
+    q AS (SELECT q8 AS qv, nrm AS qn FROM n WHERE vec_id = {ANN_QUERY_ID})
+    SELECT n.vec_id,
+           round(CAST(list_inner_product(n.q8, q.qv) AS DOUBLE) / (n.nrm * q.qn), 4) AS cosine
+    FROM n CROSS JOIN q
+    WHERE n.vec_id <> {ANN_QUERY_ID}
+    ORDER BY CAST(list_inner_product(n.q8, q.qv) AS DOUBLE) / (n.nrm * q.qn) DESC, n.vec_id
+    LIMIT {ANN_K}
+    """,
+)
+def ann_quantized_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k over int8-QUANTIZED vectors — the 4× memory-bandwidth cut of the
+    100 TB ANN path (embedding_quantize's exact clamp-floor scheme). Integer
+    dot products are exact on both engines, so unlike float-ANN recall
+    arguments this is hash-gated end to end; the double math happens only at
+    the final normalize."""
+    q8 = F.transform(
+        _as_double("embedding"),
+        lambda x: F.greatest(F.lit(-128), F.least(F.lit(127), F.floor(x * 127.0))).cast("long"),
+    )
+    e = T(spark, sf, "embeddings").select("vec_id", q8.alias("q8"))
+    idot = F.aggregate(
+        F.zip_with("q8", "q8", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    e = e.withColumn("nrm", F.sqrt(idot.cast("double")))
+    qv = e.filter(F.col("vec_id") == ANN_QUERY_ID).select(
+        F.col("q8").alias("qv"), F.col("nrm").alias("qn")
+    )
+    xdot = F.aggregate(
+        F.zip_with("q8", "qv", lambda x, y: x * y), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    cos = xdot.cast("double") / (F.col("nrm") * F.col("qn"))
+    return (
+        e.filter(F.col("vec_id") != ANN_QUERY_ID)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cos_raw", cos)
+        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
+        .limit(ANN_K)
+        .select("vec_id", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
 # ------------------------------------------------------------ text analysis
 
 @q(
