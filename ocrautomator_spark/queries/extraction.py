@@ -170,27 +170,11 @@ def streaming_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _symlink_dir(sf: str, names: list[str]) -> str:
-    """Idempotent tmp dir exposing sf/documents.parquet under the given link
-    names (the file streaming source requires a DIRECTORY; multiple links
-    make the same corpus 'arrive' that many times)."""
-    import hashlib
-    import os
-    import pathlib
+    """Docs-stream dir: sf/documents.parquet exposed under the given link
+    names (multiple links make the corpus 'arrive' that many times)."""
+    from ocrautomator_spark.streaming.jobs import stream_link_dir
 
-    src = pathlib.Path(sf) / "documents.parquet"
-    key = hashlib.md5(f"{src}|{','.join(names)}".encode()).hexdigest()[:10]
-    d = pathlib.Path("/tmp") / f"ocras_docstream_{key}"
-    d.mkdir(exist_ok=True)
-    for name in names:
-        link = d / name
-        if link.is_symlink() and not link.exists():
-            link.unlink(missing_ok=True)
-        if not link.exists():
-            try:
-                os.symlink(src, link)
-            except FileExistsError:
-                pass
-    return str(d)
+    return stream_link_dir(f"{sf}/documents.parquet", names, prefix="ocras_docstream")
 
 
 def _doc_schema():
@@ -228,10 +212,13 @@ def streaming_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     deduped = sdf.select(
         "doc_id", F.md5(F.encode("text", "utf-8")).alias("k")
     ).dropDuplicates(["k"])
+    # count(*) over the SINK, not count_distinct: the gate must fail (2×) if
+    # the stream's stateful dedup stops working — a distinct-count here would
+    # re-deduplicate and make the oracle comparison vacuous
     return run_to_memory(
         deduped,
         "append",
-        lambda df: df.agg(F.count_distinct("k").alias("n_unique_docs")),
+        lambda df: df.agg(F.count("*").alias("n_unique_docs")),
     )
 
 

@@ -124,9 +124,12 @@ MINHASH_EST_THRESHOLD = 0.5
 # hot-bucket guard: a band bucket of k docs emits k² candidate pairs, so a
 # degenerate corpus (many near-identical short docs) would blow up the
 # self-join. Buckets above this size switch from all-pairs to a STAR join —
-# every member pairs with the bucket's min doc_id — which keeps the group
-# connected (O(k) edges, so downstream connected-components still recovers
-# the whole duplicate cluster) while bounding the work.
+# every member pairs with the bucket's min doc_id (O(k) edges) — so members
+# whose signature agreement with the hub clears MINHASH_EST_THRESHOLD stay
+# connected for downstream connected-components. (A member similar to OTHER
+# bucket members but <0.5-similar to the hub can still be missed; for the
+# motivating degenerate case — mass-duplicated content — all members are
+# hub-similar and the whole cluster is recovered.)
 MAX_BAND_BUCKET = 64
 
 
@@ -179,8 +182,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         F.col("b.sig").alias("sb"),
     )
     # hot buckets: star join to the bucket's min doc_id (hub < member always,
-    # so (hub, member) is already ordered); O(k) edges keep the duplicate
-    # cluster connected for downstream connected-components
+    # so (hub, member) is already ordered); O(k) edges — see MAX_BAND_BUCKET
+    # note for the exact connectivity guarantee
     hubs = hot.select("hub").distinct()
     hub_sig = sigd.select("doc_id", "sig").join(
         F.broadcast(hubs), F.col("doc_id") == F.col("hub")
@@ -581,13 +584,16 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.col("v").alias("q"), F.col("nrm").alias("qn"), F.col("bucket").alias("qb")
     )
     cos = _dot(F.col("v"), F.col("q")) / (F.col("nrm") * F.col("qn"))
+    # order by the FULL-PRECISION cosine (round only for display) — the
+    # oracle sorts full precision, and a rounded sort could pick a different
+    # row at the LIMIT boundary when two cosines collide at 4 decimals
     return (
         eb.join(F.broadcast(qv), F.col("bucket") == F.col("qb"))
         .filter(F.col("vec_id") != ANN_QUERY_ID)
-        .withColumn("cosine", F.round(cos, 4))
-        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .withColumn("cos_raw", cos)
+        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
         .limit(ANN_K)
-        .select("vec_id", "cosine", "bucket")
+        .select("vec_id", F.round("cos_raw", 4).alias("cosine"), "bucket")
     )
 
 
@@ -618,10 +624,10 @@ def _lsh_topk_multiprobe(e: DataFrame, radius: int, query_id: int = ANN_QUERY_ID
     return (
         eb.join(F.broadcast(qv), F.col("bucket") == F.col("qb"))
         .filter(F.col("vec_id") != query_id)
-        .withColumn("cosine", F.round(cos, 4))
-        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .withColumn("cos_raw", cos)
+        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
         .limit(ANN_K)
-        .select("vec_id", "cosine", "bucket")
+        .select("vec_id", F.round("cos_raw", 4).alias("cosine"), "bucket")
     )
 
 
@@ -726,10 +732,10 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         assigned.join(F.broadcast(qcells), assigned.cell == qcells.cid)
         .filter(F.col("vec_id") != ANN_QUERY_ID)
         .crossJoin(F.broadcast(qv))
-        .withColumn("cosine", F.round(cos, 4))
-        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .withColumn("cos_raw", cos)
+        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
         .limit(ANN_K)
-        .select("vec_id", "cosine", F.col("cell"))
+        .select("vec_id", F.round("cos_raw", 4).alias("cosine"), F.col("cell"))
     )
 
 
@@ -919,10 +925,10 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
         assigned.join(F.broadcast(qcells), assigned.cell == qcells.cid)
         .filter(F.col("vec_id") != ANN_QUERY_ID)
         .crossJoin(F.broadcast(qv))
-        .withColumn("cosine", F.round(cos, 4))
-        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .withColumn("cos_raw", cos)
+        .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
         .limit(ANN_K)
-        .select("vec_id", "cosine", "cell")
+        .select("vec_id", F.round("cos_raw", 4).alias("cosine"), "cell")
     )
 
 

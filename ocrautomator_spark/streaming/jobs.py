@@ -42,29 +42,38 @@ EVENTS_SCHEMA = StructType(
 )
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The file streaming source requires a DIRECTORY; expose the single
-    # events.parquet file through a symlink dir (idempotent, per sf_dir).
+def stream_link_dir(src_file: str, names: list[str] | None = None, prefix: str = "ocras_stream") -> str:
+    """The file streaming source requires a DIRECTORY; expose a single
+    parquet file through an idempotent symlink dir. Multiple ``names`` make
+    the same file 'arrive' that many times (duplicate-ingest scenarios).
+    Path.exists() follows the link, so a dangling symlink (source moved)
+    would read False yet os.symlink would raise; repair it explicitly and
+    tolerate a concurrent creator racing us."""
     import hashlib
     import os
     import pathlib
 
-    src = pathlib.Path(sf_dir) / "events.parquet"
-    d = pathlib.Path("/tmp") / f"ocras_stream_{hashlib.md5(str(src).encode()).hexdigest()[:10]}"
+    src = pathlib.Path(src_file)
+    names = names or [src.name]
+    key = hashlib.md5(f"{src}|{','.join(names)}".encode()).hexdigest()[:10]
+    d = pathlib.Path("/tmp") / f"{prefix}_{key}"
     d.mkdir(exist_ok=True)
-    link = d / "events.parquet"
-    # Path.exists() follows the link, so a dangling symlink (source moved)
-    # would read False yet os.symlink would raise; repair it explicitly and
-    # tolerate a concurrent creator racing us.
-    if link.is_symlink() and not link.exists():
-        link.unlink(missing_ok=True)
-    if not link.exists():
-        try:
-            os.symlink(src, link)
-        except FileExistsError:
-            pass
+    for name in names:
+        link = d / name
+        if link.is_symlink() and not link.exists():
+            link.unlink(missing_ok=True)
+        if not link.exists():
+            try:
+                os.symlink(src, link)
+            except FileExistsError:
+                pass
+    return str(d)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = stream_link_dir(f"{sf_dir}/events.parquet")
     # explicit schema (no inference in production paths)
-    return spark.readStream.schema(EVENTS_SCHEMA).parquet(str(d))
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(d)
 
 
 def run_to_memory(

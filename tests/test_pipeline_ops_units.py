@@ -68,9 +68,11 @@ def test_simhash_band_guarantee():
 
 def test_minhash_hot_bucket_cap_bounds_degenerate_corpus(spark):
     """A corpus of k identical docs puts all k in every band bucket — without
-    the cap the self-join emits ~k² pairs. With the star-join cap the group
-    stays CONNECTED (every member pairs with the bucket's min doc_id) at
-    exactly k-1 edges instead of k*(k-1)/2 ≈ 32k."""
+    the cap the self-join emits ~k² pairs. With the star-join cap every
+    member pairs with the bucket's min doc_id, so this hub-similar cluster
+    stays connected at exactly k-1 edges instead of k*(k-1)/2 ≈ 32k (the
+    guarantee covers members that clear the signature threshold vs the hub —
+    trivially all of them here)."""
     from ocrautomator_spark.queries import pipeline_ops as po
 
     k = po.MAX_BAND_BUCKET * 4
