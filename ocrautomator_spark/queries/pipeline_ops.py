@@ -256,23 +256,60 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
             for i in range(SIMHASH_BANDS)
         ]
     )
-    banded = d.select("doc_id", "sig", F.explode(bands).alias("b")).select(
-        "doc_id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    # checkpoint once: the pandas-UDF signature feeds the bucket stats, the
+    # anti-join, both self-join sides, and the hub lookup
+    banded = (
+        d.select("doc_id", "sig", F.explode(bands).alias("b"))
+        .select("doc_id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+        .localCheckpoint()
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
-        )
+    # same hot-bucket star guard as dedup_minhash_lsh: identical docs share
+    # ALL band values, so a mass-duplicated corpus would emit k² pairs
+    hot = (
+        banded.groupBy("band", "bh")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("hub"))
+        .filter(F.col("n") > MAX_BAND_BUCKET)
+        .select("band", "bh", "hub")
+    )
+    cold = banded.join(F.broadcast(hot.select("band", "bh")), ["band", "bh"], "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    cand_cold = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.sig").alias("sa"),
+        F.col("b.sig").alias("sb"),
+    )
+    hubs = hot.select("hub").distinct()
+    hub_sig = (
+        banded.select("doc_id", "sig")
+        .join(F.broadcast(hubs), F.col("doc_id") == F.col("hub"))
+        .select("hub", F.col("sig").alias("hub_sig"))
         .distinct()
+    )
+    cand_hot = (
+        banded.join(F.broadcast(hot), ["band", "bh"])
+        .filter(F.col("doc_id") != F.col("hub"))
+        .join(F.broadcast(hub_sig), "hub")
+        .select(
+            F.col("hub").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.col("hub_sig").alias("sa"),
+            F.col("sig").alias("sb"),
+        )
+    )
+    return (
+        cand_cold.union(cand_hot)
+        .distinct()
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
+        )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
     )
 

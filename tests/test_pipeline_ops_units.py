@@ -303,3 +303,24 @@ def test_cc_min_label_matches_bfs_on_random_graphs(spark):
         pairs = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
         got = {r["node"]: r["lbl"] for r in _cc_min_label(pairs).collect()}
         assert got == expected, f"seed {seed}: CC mismatch"
+
+
+def test_simhash_hot_bucket_star_on_degenerate_corpus(spark):
+    """Identical docs share all simhash band values; the star guard bounds
+    the candidate stage at k-1 hub edges (hamming 0) instead of k²."""
+    from ocrautomator_spark.queries import pipeline_ops as po
+
+    k = po.MAX_BAND_BUCKET * 3
+    pdf = pd.DataFrame(
+        {"doc_id": range(k), "text": ["identical words repeated for the simhash test"] * k}
+    )
+    df = spark.createDataFrame(pdf)
+    orig = po.T
+    try:
+        po.T = lambda s, sf, name: df
+        rows = po.QUERIES["dedup_simhash"](spark, "unused").collect()
+    finally:
+        po.T = orig
+    pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert pairs == {(0, j) for j in range(1, k)}
+    assert all(r["hamming"] == 0 for r in rows)
