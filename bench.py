@@ -76,6 +76,8 @@ HEADLINE = [
     "dedup_cluster_keeper",
     "ann_cosine_topk",
     "conv_merge_runs",
+    "ann_quantized_topk",
+    "pipeline_e2e",
     "extract_flagship",
 ]
 
