@@ -158,6 +158,41 @@ def conv_merge_runs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+CONTEXT_BUDGET_CHARS = 60  # context-window char budget for the truncation op
+
+
+@q(
+    "conv_context_window",
+    f"""
+    WITH t AS ({SQL_T}),
+    c AS (SELECT conv_id, turn_idx, role,
+                 SUM(length(text)) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                                         ROWS UNBOUNDED PRECEDING) AS cum_chars
+          FROM t)
+    SELECT conv_id, turn_idx, role, cum_chars
+    FROM c WHERE cum_chars <= {CONTEXT_BUDGET_CHARS}
+    """,
+)
+def conv_context_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-budget truncation — the LLM-serving shape: keep the longest
+    SUFFIX of each conversation whose cumulative payload size fits the
+    budget (reverse-cumulative window sum, then filter). One shuffle on
+    conv_id, shared with the rest of the conversation family."""
+    from pyspark.sql.window import Window
+
+    t = events_as_transcripts(spark, sf)
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.desc("turn_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum_chars", F.sum(F.length("text")).over(w))
+        .filter(F.col("cum_chars") <= CONTEXT_BUDGET_CHARS)
+        .select("conv_id", "turn_idx", "role", "cum_chars")
+    )
+
+
 @q(
     "conv_span_profile",
     """

@@ -1165,6 +1165,47 @@ def lang_id(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", "lang", predict("text").alias("lang_pred"))
 
 
+PACK_BIN_CHARS = 4000  # sequence-packing bin capacity (chars stand in for tokens)
+
+
+@q(
+    "pack_greedy_bins",
+    f"""
+    WITH c AS (
+      SELECT doc_id, length(text) AS n_chars,
+             SUM(length(text)) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents)
+    SELECT CAST(floor((cum - n_chars) / {PACK_BIN_CHARS}) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS bin_chars
+    FROM c GROUP BY 1
+    """,
+)
+def pack_greedy_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing for pretraining batches: contiguous-fill docs (in
+    deterministic doc_id order) into fixed-capacity bins — bin id = floor of
+    the EXCLUSIVE running size over the capacity. The global running sum is
+    a single-partition window at sandbox scale; at 100 TB the same op runs
+    per shard (partitionBy(shard) added to the window) with bin ids offset
+    by exclusive per-shard totals — the standard two-pass distributed scan."""
+    from pyspark.sql.window import Window
+
+    d = T(spark, sf, "documents").select("doc_id", F.length("text").alias("n_chars"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = d.withColumn("cum", F.sum("n_chars").over(w))
+    return (
+        c.withColumn(
+            "bin_id",
+            F.floor((F.col("cum") - F.col("n_chars")) / PACK_BIN_CHARS).cast("bigint"),
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("bin_chars"),
+        )
+    )
+
+
 # ------------------------------------------------------------ multimodal (stubbed decode)
 
 @q("mm_image_features")  # binary plumbing real, decode deterministic STUB → rows-only

@@ -125,7 +125,7 @@ def test_conversation_family_reuses_one_exchange(spark):
     hashpartitioning exchange."""
     from ocrautomator_spark.queries.conversation_q import QUERIES as CQ
 
-    for name in ("conv_turn_gaps", "conv_merge_runs", "conv_response_latency"):
+    for name in ("conv_turn_gaps", "conv_merge_runs", "conv_response_latency", "conv_context_window"):
         plan = _plan(CQ[name](spark, SF_DIR))
         n = plan.count("Arguments: hashpartitioning")
         assert n == 1, f"{name}: expected 1 hash exchange, saw {n}"
