@@ -1165,11 +1165,11 @@ def lang_id(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", "lang", predict("text").alias("lang_pred"))
 
 
-PACK_BIN_CHARS = 4000  # sequence-packing bin capacity (chars stand in for tokens)
+PACK_BIN_CHARS = 4000  # chunk capacity (chars stand in for tokens)
 
 
 @q(
-    "pack_greedy_bins",
+    "pack_contiguous_bins",
     f"""
     WITH c AS (
       SELECT doc_id, length(text) AS n_chars,
@@ -1181,13 +1181,17 @@ PACK_BIN_CHARS = 4000  # sequence-packing bin capacity (chars stand in for token
     FROM c GROUP BY 1
     """,
 )
-def pack_greedy_bins(spark: SparkSession, sf: str) -> DataFrame:
-    """Sequence packing for pretraining batches: contiguous-fill docs (in
-    deterministic doc_id order) into fixed-capacity bins — bin id = floor of
-    the EXCLUSIVE running size over the capacity. The global running sum is
-    a single-partition window at sandbox scale; at 100 TB the same op runs
-    per shard (partitionBy(shard) added to the window) with bin ids offset
-    by exclusive per-shard totals — the standard two-pass distributed scan."""
+def pack_contiguous_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Contiguous chunk assignment for pretraining batches: docs (in
+    deterministic doc_id order) are bucketed by the bin their START offset
+    falls in — bin id = floor(exclusive running size / capacity). A bin can
+    overflow by at most one document's tail (unlike true first-fit packing,
+    which closes a bin when the next doc would overflow but is inherently a
+    sequential scan); this is the streaming-friendly approximation used when
+    documents are later split at exact token boundaries anyway. The global
+    running sum is a single-partition window at sandbox scale; at 100 TB the
+    same op runs per shard (partitionBy(shard) on the window) with bin ids
+    offset by exclusive per-shard totals — the standard two-pass scan."""
     from pyspark.sql.window import Window
 
     d = T(spark, sf, "documents").select("doc_id", F.length("text").alias("n_chars"))
