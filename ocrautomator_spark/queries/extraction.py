@@ -94,7 +94,7 @@ MIN_PIPE_WORDS = 8  # quality gate of the composed pipeline
       SELECT MIN(conv_id) AS keeper,
              arg_min(lang, conv_id) AS lang,
              MIN(length(extracted_text)) AS n_chars
-      FROM kept GROUP BY md5(extracted_text))
+      FROM kept GROUP BY sha256(extracted_text))
     SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM ded GROUP BY lang
     """,
@@ -102,13 +102,15 @@ MIN_PIPE_WORDS = 8  # quality gate of the composed pipeline
 def pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
     """The composed training-data pipeline in one job: distributed extraction
     (salted repartition → mapInArrow kernel) → quality gate (min word count
-    on the EXTRACTED text) → exact dedup keyed on md5(extracted_text) with
-    min-conv_id keeper → per-language corpus rollup. One extraction pass, one
-    dedup shuffle on a fixed-width key, one agg — the shape a 100 TB corpus
-    build actually runs. Oracled exactly via the plain-text identity."""
+    on the EXTRACTED text) → exact dedup keyed on sha2-256(extracted_text)
+    (collision-resistant: md5 collisions are mintable on an untrusted corpus
+    and would silently drop documents) with min-conv_id keeper → per-language
+    corpus rollup. One extraction pass, one dedup shuffle on a fixed-width
+    key, one agg — the shape a 100 TB corpus build actually runs. Oracled
+    exactly via the plain-text identity."""
     ext = run_extract(documents_as_transcripts(spark, sf), passthrough=["lang"])
     kept = ext.filter(F.size(F.split("extracted_text", " ")) >= MIN_PIPE_WORDS)
-    ded = kept.groupBy(F.md5(F.encode("extracted_text", "utf-8")).alias("_k")).agg(
+    ded = kept.groupBy(F.sha2(F.encode("extracted_text", "utf-8"), 256).alias("_k")).agg(
         F.min("conv_id").alias("keeper"),
         F.min_by("lang", "conv_id").alias("lang"),
         F.min(F.length("extracted_text")).alias("n_chars"),
@@ -194,15 +196,16 @@ def _doc_schema():
 @q(
     "streaming_dedup_docs",
     """
-    SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_docs
+    SELECT CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_unique_docs
     FROM documents
     """,
 )
 def streaming_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental corpus dedup as a REAL streaming job: the corpus 'arrives'
-    TWICE (two file links), gets deduplicated by md5(text) — the fixed-width
-    content key — via dropDuplicates inside the stream, and the sink count
-    must equal batch COUNT(DISTINCT md5(text)): without working stateful
+    TWICE (two file links), gets deduplicated by sha2-256(text) — the
+    fixed-width collision-resistant content key (md5 merges are mintable) —
+    via dropDuplicates inside the stream, and the sink count
+    must equal batch COUNT(DISTINCT sha256(text)): without working stateful
     dedup the result would be 2×. On a real cluster this is the continuous
     ingest-side dedup in front of the extract pipeline."""
     from ocrautomator_spark.streaming.jobs import run_to_memory
@@ -210,7 +213,7 @@ def streaming_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     d = _symlink_dir(sf, ["copy1.parquet", "copy2.parquet"])
     sdf = spark.readStream.schema(_doc_schema()).parquet(d)
     deduped = sdf.select(
-        "doc_id", F.md5(F.encode("text", "utf-8")).alias("k")
+        "doc_id", F.sha2(F.encode("text", "utf-8"), 256).alias("k")
     ).dropDuplicates(["k"])
     # count(*) over the SINK, not count_distinct: the gate must fail (2×) if
     # the stream's stateful dedup stops working — a distinct-count here would

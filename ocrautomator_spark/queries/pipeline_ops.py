@@ -10,7 +10,9 @@ Scale notes (these run on ~100 TB in production):
   crossJoin below is against a 1-row broadcast query vector;
 * hot-key discipline: grams above MAX_DF document frequency are dropped
   before the self-join (the classic stop-gram guard for 100 TB corpora);
-* all hashing is xxhash64/md5 (deterministic, seedable, JVM-side).
+* all hashing is JVM-side and deterministic: xxhash64 for sketch/bucket
+  hashes (seedable, collision tolerance is part of the sketch math) and
+  sha2-256 wherever a collision would silently DROP data (exact-dedup keys).
 """
 
 from __future__ import annotations
@@ -43,17 +45,20 @@ def q(name: str, oracle: str | None = None):
     """
     SELECT MIN(doc_id) AS keeper, COUNT(*) AS n_copies,
            CASE WHEN COUNT(*) > 1 THEN 1 ELSE 0 END AS is_dup_group
-    FROM documents GROUP BY md5(text)
+    FROM documents GROUP BY sha256(text)
     """,
 )
 def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on md5(text) — the shuffle carries a
-    fixed-width 32-char key instead of the full payload (at 10^12 rows the
+    """Exact dedup: hash-groupBy on sha2-256(text) — the shuffle carries a
+    fixed-width 64-char key instead of the full payload (at 10^12 rows the
     payload-keyed shuffle would move the whole corpus); keeper = min doc_id.
-    Oracle groups by md5(text) identically."""
+    sha2-256 (not md5): on an untrusted web corpus an adversary can mint
+    md5-colliding distinct documents that would be silently merged and
+    dropped; a collision-resistant key closes that. Oracle groups by
+    sha256(text) identically."""
     return (
         T(spark, sf, "documents")
-        .groupBy(F.md5(F.encode("text", "utf-8")).alias("_k"))
+        .groupBy(F.sha2(F.encode("text", "utf-8"), 256).alias("_k"))
         .agg(
             F.min("doc_id").alias("keeper"),
             F.count("*").alias("n_copies"),
@@ -349,9 +354,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
 
     The input is the embeddings table plus deterministically planted
     near-duplicates (every 3rd vector scaled by 1.5 under a shifted id), so
-    true near-dups exist at any scale factor. Sign-LSH buckets are scale-
-    invariant, so recall on colinear dups is exactly 100% by construction and
-    the exact O(n²) DuckDB oracle stays a hash-exact gate. (The oracle
+    true near-dups exist at any scale factor. The planted dup INHERITS its
+    base vector's bucket (bucket is computed before the union) rather than
+    recomputing it from the 1.5-scaled components: sign-LSH is scale-
+    invariant in exact arithmetic, but a hyperplane projection within float
+    rounding of zero could flip under rescaling, and inheriting the bucket
+    makes base/dup co-bucketing exact by construction — recall on colinear
+    dups is 100% and the exact O(n²) DuckDB oracle stays a hash-exact gate. (The oracle
     contract additionally relies on the corpus having no NATURAL pair at
     cos ≥ 0.98 — true here by a wide margin, max natural cosine ≈ 0.60; a
     natural pair that close could straddle a bucket boundary. On a corpus
@@ -362,16 +371,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
     nature; ann_cosine_topk covers it.) The oracle's pair join is quadratic
     only on the DuckDB side, where it is the definition being tested against.
     """
-    base = T(spark, sf, "embeddings").select("vec_id", _as_double("embedding").alias("v"))
+    base = T(spark, sf, "embeddings").select(
+        "vec_id",
+        _as_double("embedding").alias("v"),
+    ).withColumn("bucket", _lsh_bucket(F.col("v")))
     dup = base.filter(F.col("vec_id") % 3 == 0).select(
         F.expr(PLANT_ID).alias("vec_id"),
         F.transform("v", lambda x: x * 1.5).alias("v"),
+        "bucket",  # inherited, not recomputed — see docstring
     )
     e = base.unionAll(dup)
     eb = e.select(
         "vec_id",
         "v",
-        _lsh_bucket(F.col("v")).alias("bucket"),
+        "bucket",
         F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
     )
     a = eb.select(
@@ -476,8 +489,18 @@ def _cc_min_label(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
             F.col("dst").alias("node"), "lbl"
         )
         new = labels.union(msgs).groupBy("node").agg(F.min("lbl").alias("lbl"))
-        # pointer jumping: lbl ← label(lbl); halves remaining chain depth
-        ref = new.select(F.col("node").alias("lbl"), F.col("lbl").alias("lbl2"))
+        # pointer jumping: lbl ← label(lbl); halves remaining chain depth.
+        # Skew guard for a mass-duplicate mega-cluster (every member carries
+        # the same lbl, making it a hot join key): semi-join-reduce the ref
+        # side to the labels ACTUALLY present — the distinct() collapses the
+        # hot key map-side (partial agg), and the reduced ref (~one row per
+        # component + frontier) is small enough for AQE to broadcast, turning
+        # the hot-key join into a map-side join with no skewed shuffle.
+        active = new.select("lbl").distinct()
+        ref = (
+            new.select(F.col("node").alias("lbl"), F.col("lbl").alias("lbl2"))
+            .join(active, "lbl")
+        )
         new = new.join(ref, "lbl", "left").select(
             "node", F.coalesce("lbl2", "lbl").alias("lbl")
         )
@@ -1166,6 +1189,48 @@ def lang_id(spark: SparkSession, sf: str) -> DataFrame:
 
 
 PACK_BIN_CHARS = 4000  # chunk capacity (chars stand in for tokens)
+PACK_SHARD_DOCS = 4096  # doc_id-range width of one packing shard
+
+
+def _pack_bins(d: DataFrame, shard_docs: int = PACK_SHARD_DOCS) -> DataFrame:
+    """Two-pass sharded contiguous packing over (doc_id, n_chars):
+
+    pass 1 — the big window runs PER SHARD (shard = doc_id div shard_docs, an
+    order-preserving range partitioning), so no single task ever sees more
+    than one shard's rows;
+    pass 2 — per-shard totals (one tiny row per shard) get an exclusive
+    prefix sum on a shards-sized input, and the offsets join back broadcast.
+
+    global running size = shard offset + within-shard running size, exactly —
+    so the sharded job is bit-identical to a global single-partition window
+    at ANY shard width (pinned by tests/test_pipeline_ops_units.py across
+    shard widths, including bins straddling shard boundaries), while scaling:
+    the only single-partition exchange in the plan is over the per-shard
+    aggregate, never the corpus."""
+    from pyspark.sql.window import Window
+
+    d = d.withColumn("shard", F.floor(F.col("doc_id") / shard_docs))
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum_in", F.sum("n_chars").over(w_in))
+    totals = d.groupBy("shard").agg(F.sum("n_chars").alias("shard_chars"))
+    w_sh = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "shard", F.coalesce(F.sum("shard_chars").over(w_sh), F.lit(0)).alias("shard_off")
+    )
+    c = c.join(F.broadcast(offsets), "shard")
+    start = F.col("shard_off") + F.col("cum_in") - F.col("n_chars")  # exclusive global cum
+    return (
+        c.withColumn("bin_id", F.floor(start / PACK_BIN_CHARS).cast("bigint"))
+        .groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("bin_chars"),
+        )
+    )
 
 
 @q(
@@ -1188,26 +1253,12 @@ def pack_contiguous_bins(spark: SparkSession, sf: str) -> DataFrame:
     overflow by at most one document's tail (unlike true first-fit packing,
     which closes a bin when the next doc would overflow but is inherently a
     sequential scan); this is the streaming-friendly approximation used when
-    documents are later split at exact token boundaries anyway. The global
-    running sum is a single-partition window at sandbox scale; at 100 TB the
-    same op runs per shard (partitionBy(shard) on the window) with bin ids
-    offset by exclusive per-shard totals — the standard two-pass scan."""
-    from pyspark.sql.window import Window
-
+    documents are later split at exact token boundaries anyway. Runs the
+    SHARDED two-pass plan (see ``_pack_bins``): per-shard windows + a
+    broadcast exclusive prefix of per-shard totals — identical output to the
+    global window, no corpus-sized single-partition stage."""
     d = T(spark, sf, "documents").select("doc_id", F.length("text").alias("n_chars"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    c = d.withColumn("cum", F.sum("n_chars").over(w))
-    return (
-        c.withColumn(
-            "bin_id",
-            F.floor((F.col("cum") - F.col("n_chars")) / PACK_BIN_CHARS).cast("bigint"),
-        )
-        .groupBy("bin_id")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_chars").cast("bigint").alias("bin_chars"),
-        )
-    )
+    return _pack_bins(d)
 
 
 # ------------------------------------------------------------ multimodal (stubbed decode)

@@ -28,8 +28,23 @@ def q(name: str, oracle: str | None = None):
     return deco
 
 
-def _sfx(sf: str) -> str:
-    return hashlib.md5(sf.encode()).hexdigest()[:8]
+def _sfx(sf: str, src: str = "orders") -> str:
+    """Cache key for derived /tmp layouts: sf path + source parquet
+    mtime/size, so a regenerated source invalidates the cached layout
+    instead of serving a stale copy against a fresh oracle."""
+    import pathlib
+
+    key = sf
+    p = pathlib.Path(sf) / f"{src}.parquet"
+    try:
+        st = p.stat()
+        key += f"|{src}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        # directory-style parquet: fold in every part file's stat
+        for part in sorted(pathlib.Path(sf).glob(f"{src}.parquet/*.parquet")):
+            st = part.stat()
+            key += f"|{part.name}|{st.st_mtime_ns}|{st.st_size}"
+    return hashlib.md5(key.encode()).hexdigest()[:8]
 
 
 def _ensure_bucketed(spark: SparkSession, sf: str) -> tuple[str, str]:
@@ -37,8 +52,8 @@ def _ensure_bucketed(spark: SparkSession, sf: str) -> tuple[str, str]:
     sorted within buckets) once per sf dir; reuse on later calls. At 10^12
     rows this layout is written once and every subsequent join of the two
     tables is shuffle-free AND sort-free."""
-    sx = _sfx(sf)
-    ot, lt = f"orders_bkt_{sx}", f"lineitem_bkt_{sx}"
+    ot = f"orders_bkt_{_sfx(sf, 'orders')}"
+    lt = f"lineitem_bkt_{_sfx(sf, 'lineitem')}"
     for tbl, src, key in ((ot, "orders", "o_orderkey"), (lt, "lineitem", "l_orderkey")):
         path = f"/tmp/ocras_bucketed_{tbl}"
         import pathlib

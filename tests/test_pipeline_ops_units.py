@@ -324,3 +324,97 @@ def test_simhash_hot_bucket_star_on_degenerate_corpus(spark):
     pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
     assert pairs == {(0, j) for j in range(1, k)}
     assert all(r["hamming"] == 0 for r in rows)
+
+
+def _pack_reference(rows: list[tuple[int, int]]) -> dict[int, tuple[int, int]]:
+    """Pure-Python global contiguous packing: bin_id -> (n_docs, bin_chars)."""
+    from ocrautomator_spark.queries.pipeline_ops import PACK_BIN_CHARS
+
+    cum = 0
+    bins: dict[int, list[int]] = {}
+    for _doc_id, n in sorted(rows):
+        b = cum // PACK_BIN_CHARS  # bin of the doc's START offset
+        bins.setdefault(b, [0, 0])
+        bins[b][0] += 1
+        bins[b][1] += n
+        cum += n
+    return {b: (v[0], v[1]) for b, v in bins.items()}
+
+
+def test_pack_bins_sharded_matches_global_at_any_shard_width(spark):
+    """The sharded two-pass plan must be bit-identical to the global window
+    at every shard width — including widths so narrow that most bins straddle
+    shard boundaries (bin-id continuity across shards)."""
+    import random
+
+    from ocrautomator_spark.queries.pipeline_ops import PACK_BIN_CHARS, _pack_bins
+
+    rng = random.Random(11)
+    # non-contiguous doc_ids (gaps) exercise range sharding on a sparse keyspace
+    rows = [(i * 3 + rng.randrange(2), 50 + rng.randrange(900)) for i in range(400)]
+    expected = _pack_reference(rows)
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    d = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    for shard_docs in (2, 7, 64, 4096):
+        got = {
+            r["bin_id"]: (r["n_docs"], r["bin_chars"])
+            for r in _pack_bins(d, shard_docs=shard_docs).collect()
+        }
+        assert got == expected, f"shard width {shard_docs}: sharded != global"
+
+    # sanity: at width 7 (avg shard ≈ 7·500 chars < several bins) at least one
+    # bin's docs must span two shards, so continuity across shards is exercised
+    shards_per_bin: dict[int, set[int]] = {}
+    cum = 0
+    for doc_id, n in sorted(rows):
+        shards_per_bin.setdefault(cum // PACK_BIN_CHARS, set()).add(doc_id // 7)
+        cum += n
+    assert any(len(s) > 1 for s in shards_per_bin.values()), "no bin straddled a shard"
+
+
+def test_pack_bins_no_corpus_single_partition_window(spark):
+    """Plan shape: the corpus-side window is partitioned by shard (hash
+    exchange), and the ONLY single-partition exchange feeds the tiny
+    per-shard-totals window — never a scan of the documents table."""
+    import contextlib
+    import io
+
+    from ocrautomator_spark.queries.pipeline_ops import QUERIES as POQ
+    from tests.conftest import SF_DIR
+
+    df = POQ["pack_contiguous_bins"](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    plan = buf.getvalue()
+    assert "hashpartitioning(shard" in plan, "corpus window not sharded"
+    assert plan.count("SinglePartition") == 1, plan
+    after = plan.split("SinglePartition", 1)[1]
+    agg_pos = after.find("HashAggregate")
+    scan_pos = after.find("Scan parquet")
+    assert agg_pos != -1 and (scan_pos == -1 or agg_pos < scan_pos), (
+        "single-partition exchange consumes a corpus scan, not the per-shard aggregate"
+    )
+
+
+def test_cc_mega_cluster_degenerate(spark):
+    """Degenerate skew case: one component holds >50% of all nodes (the
+    mass-duplicate boilerplate cluster). Must converge (raises otherwise)
+    with correct labels; the semi-join-reduced pointer-jump ref keeps the
+    hot `lbl` key off a big shuffled build side."""
+    from ocrautomator_spark.queries.pipeline_ops import _cc_min_label
+
+    star = [(0, i) for i in range(1, 250)]              # 250-node star (>50%)
+    chain = [(i, i + 1) for i in range(250, 289)]       # 40-node chain
+    pairs = [(300 + 2 * i, 301 + 2 * i) for i in range(20)]
+    edges = star + chain + pairs
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["node"]: r["lbl"] for r in _cc_min_label(df).collect()}
+    expected = {i: 0 for i in range(250)}
+    expected.update({i: 250 for i in range(250, 290)})
+    for i in range(20):
+        expected[300 + 2 * i] = 300 + 2 * i
+        expected[301 + 2 * i] = 300 + 2 * i
+    assert got == expected
