@@ -31,7 +31,10 @@ from ocrautomator_spark.kernel.types import (
 
 # Bump whenever kernel behavior (any threshold, regex, or rule) changes —
 # goldens in tests/golden/ are frozen against this version (SURVEY.md §7 M0).
-EXTRACTOR_VERSION = "0.1.2"
+# 0.2.0: per-language stopword sets (en/de/es/fr union + CJK char-level path)
+# in the E6 classifier's lean bonus — A/B vs 0.1.2: 0 diffs on the synthetic
+# corpus (language-neutral vocab), multilingual prose blocks now kept.
+EXTRACTOR_VERSION = "0.2.0"
 
 
 def _assemble(raw: str, blocks: list[Block]) -> ExtractResult:

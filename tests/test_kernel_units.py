@@ -223,3 +223,37 @@ def test_blockquote_is_content():
     )
     r = extract_one(page)
     assert "quoted passage carries the actual meaning" in r.extracted_text
+
+
+def test_multilang_stopword_bonus_keeps_nonenglish_near_blocks():
+    """Kernel 0.2.0: the E6 lean bonus uses the multi-language function-word
+    union, so a short German/Spanish/French prose block (3–9 words, no content
+    neighbor) survives the way an equivalent English one always did. The
+    link-farm between the anchor paragraph and the short block forces the
+    decision through the stopword path, not neighbor smoothing."""
+    farm = "".join(f"<a href='/l{i}'>Nav {i}</a> " for i in range(8))
+    for short in (
+        "Die Antwort ist in der Datei",          # de: 4/6 function words
+        "La respuesta es que el sistema funciona",  # es
+        "La réponse est dans le fichier du projet",  # fr
+    ):
+        page = (
+            "<html><body><p>The long anchor paragraph holds enough genuine "
+            "English words to be classified as content on its own.</p>"
+            f"<div>{farm}</div><p>{short}</p></body></html>"
+        )
+        r = extract_one(page)
+        assert short in r.extracted_text, f"multilingual near block dropped: {short!r}"
+        assert "Nav 0" not in r.extracted_text
+
+
+def test_cjk_char_level_stopword_path():
+    """Pure-CJK prose has no spaces, so the word-level ratio is blind; the
+    char-level path over CJK function characters supplies the lean signal for
+    phrase-spaced Chinese blocks."""
+    from ocrautomator_spark.kernel.textutil import stopword_ratio
+
+    zh = "系统在线 用户的请求 延迟是正常的 服务器在运行 一切都很好"
+    assert stopword_ratio(zh) >= 0.3, stopword_ratio(zh)
+    # and a language-neutral token soup stays below the bonus threshold
+    assert stopword_ratio("alpha bravo charlie delta echo foxtrot") == 0.0
