@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from ocrautomator_spark.queries import (
     conversation_q,
+    curation,
     extraction,
     pipeline_ops,
     relational,
@@ -36,6 +37,7 @@ _MODULES = [
     pipeline_ops,
     extraction,
     conversation_q,
+    curation,
     scale_demo,
 ]
 QUERIES = {k: v for m in _MODULES for k, v in m.QUERIES.items()}

@@ -1,0 +1,275 @@
+"""Corpus-curation operators for pretraining-data pipelines.
+
+The four ops a 100 TB curation run executes between raw extraction and
+tokenization: benchmark decontamination (n-gram overlap against a held-out
+eval set), Gopher-style repetition statistics, a staged quality-filter
+funnel with per-stage survival counts, and corpus term document-frequency
+(tokenizer-vocabulary prep).
+
+Scale notes:
+* decontamination is a broadcast left join — the eval side is benchmark
+  text (megabytes even for dozens of benchmarks), so the 100 TB train side
+  never shuffles: each task checks its grams against the broadcast set and
+  the only exchange is the per-doc count aggregation on doc_id;
+* repetition stats are computed entirely with array higher-order functions
+  (transform/filter/array_distinct) — a pure narrow map over the corpus,
+  ZERO shuffles; the per-doc mode scan is O(distinct·len) but documents are
+  bounded-length, so it stays cheap and JVM-side;
+* the filter funnel is the same narrow map followed by ONE single-row
+  conditional aggregation (sum of flag ints) — at 100 TB this is a scan
+  plus a 5-row result, the cheapest possible audit of a filter chain;
+* term_df dedups (doc_id, term) pairs map-side via array_distinct BEFORE
+  exploding, so the groupBy(term) shuffle carries each term once per doc,
+  never once per occurrence — on natural text that is a 2-5x shuffle cut.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocrautomator_spark.queries.common import T
+from ocrautomator_spark.queries.pipeline_ops import _word_ngrams
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ------------------------------------------------------- decontamination
+
+EVAL_MOD = 37  # deterministic held-out "benchmark" slice: doc_id % 37 == 0
+DECONTAM_N = 3  # n-gram order; 3 is the classic contamination unit for word text
+
+
+@q(
+    "curation_decontaminate",
+    f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    g AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS gram
+          FROM w, UNNEST(generate_series(1, greatest(len(words) - 2, 1))) AS t(i)),
+    e AS (SELECT DISTINCT gram FROM g WHERE doc_id % {EVAL_MOD} = 0),
+    hits AS (SELECT g.doc_id, COUNT(e.gram) AS n_hit
+             FROM g LEFT JOIN e ON g.gram = e.gram
+             WHERE g.doc_id % {EVAL_MOD} <> 0
+             GROUP BY g.doc_id)
+    SELECT doc_id, n_hit AS n_hit_grams,
+           CASE WHEN n_hit > 0 THEN 1 ELSE 0 END AS is_contaminated
+    FROM hits
+    """,
+)
+def curation_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    3-gram with a held-out eval slice (doc_id % 37 == 0 stands in for the
+    benchmark corpus — deterministic, no external data). Every train doc is
+    kept in the output with its hit count so the downstream filter threshold
+    is a policy choice, not baked in here.
+
+    Scale: the eval gram set is broadcast (benchmarks are tiny vs the
+    corpus); the train side sees a BroadcastHashJoin — no shuffle of the
+    100 TB side except the final doc_id count agg."""
+    grams = _word_ngrams(T(spark, sf, "documents"), DECONTAM_N)
+    eval_g = (
+        grams.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select("gram")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train = grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+    return (
+        train.join(F.broadcast(eval_g), "gram", "left")
+        .groupBy("doc_id")
+        .agg(F.count("_hit").alias("n_hit_grams"))
+        .withColumn(
+            "is_contaminated", (F.col("n_hit_grams") > 0).cast("int")
+        )
+    )
+
+
+# ---------------------------------------------------- repetition quality
+
+def _word_stats_cols(words):
+    """Array-native per-doc stats (no shuffle): n_words, n_distinct, and the
+    count of the most frequent word (mode count, O(distinct·len) scan)."""
+    n_words = F.size(words)
+    distinct = F.array_distinct(words)
+    top_cnt = F.array_max(
+        F.transform(distinct, lambda x: F.size(F.filter(words, lambda y: y == x)))
+    )
+    return n_words, F.size(distinct), top_cnt
+
+
+def _bigram_cols(words):
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, 2)))
+    return F.size(grams), F.size(F.array_distinct(grams))
+
+
+_REP_STATS_SQL = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    s AS (SELECT doc_id,
+                 len(words) AS n_words,
+                 len(list_distinct(words)) AS n_distinct,
+                 list_max(list_transform(list_distinct(words),
+                     x -> len(list_filter(words, y -> y = x)))) AS top_cnt,
+                 len(list_transform(generate_series(1, greatest(len(words)-1, 1)),
+                     i -> array_to_string(words[i:i+1], ' '))) AS n_2g,
+                 len(list_distinct(list_transform(generate_series(1, greatest(len(words)-1, 1)),
+                     i -> array_to_string(words[i:i+1], ' ')))) AS n_2g_d
+          FROM w)
+    SELECT doc_id, n_words,
+           CAST(n_distinct AS DOUBLE) / n_words AS distinct_word_ratio,
+           CAST(top_cnt AS DOUBLE) / n_words AS top_word_fraction,
+           1.0 - CAST(n_2g_d AS DOUBLE) / n_2g AS dup_2gram_fraction
+    FROM s
+"""
+
+
+@q("curation_repetition_stats", _REP_STATS_SQL)
+def curation_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-word ratio,
+    top-word fraction (mode count / length), duplicate-2-gram fraction.
+
+    Scale: a pure narrow map — all three stats come from array higher-order
+    functions on the split column, so the plan is scan → project with zero
+    exchanges. Ratios are single IEEE divisions of exact integers, so Spark
+    and DuckDB produce bit-identical doubles."""
+    words = F.split("text", " ")
+    n_words, n_distinct, top_cnt = _word_stats_cols(words)
+    n_2g, n_2g_d = _bigram_cols(words)
+    return T(spark, sf, "documents").select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (n_distinct.cast("double") / n_words).alias("distinct_word_ratio"),
+        (top_cnt.cast("double") / n_words).alias("top_word_fraction"),
+        (F.lit(1.0) - n_2g_d.cast("double") / n_2g).alias("dup_2gram_fraction"),
+    )
+
+
+# --------------------------------------------------------- filter funnel
+
+# Cumulative stages (each ANDs with all previous). Thresholds chosen to give
+# real drops on the synthetic corpus: 500 -> 382 -> 371 -> 315 -> 304 at
+# sf0.01 (checked before committing; parity gates the exact values).
+FUNNEL_LEN_MIN, FUNNEL_LEN_MAX = 25, 90
+FUNNEL_TOP_MAX = 0.15
+FUNNEL_DIV_MIN = 0.35
+FUNNEL_REP_MAX = 0.08
+
+_FUNNEL_SQL = f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    s AS (SELECT doc_id,
+                 len(words) AS n_words,
+                 len(list_distinct(words)) AS n_distinct,
+                 list_max(list_transform(list_distinct(words),
+                     x -> len(list_filter(words, y -> y = x)))) AS top_cnt,
+                 len(list_transform(generate_series(1, greatest(len(words)-1, 1)),
+                     i -> array_to_string(words[i:i+1], ' '))) AS n_2g,
+                 len(list_distinct(list_transform(generate_series(1, greatest(len(words)-1, 1)),
+                     i -> array_to_string(words[i:i+1], ' ')))) AS n_2g_d
+          FROM w),
+    f AS (SELECT
+            n_words BETWEEN {FUNNEL_LEN_MIN} AND {FUNNEL_LEN_MAX} AS f_len,
+            CAST(top_cnt AS DOUBLE) / n_words <= {FUNNEL_TOP_MAX} AS f_top,
+            CAST(n_distinct AS DOUBLE) / n_words >= {FUNNEL_DIV_MIN} AS f_div,
+            1.0 - CAST(n_2g_d AS DOUBLE) / n_2g <= {FUNNEL_REP_MAX} AS f_rep
+          FROM s),
+    a AS (SELECT COUNT(*) AS c0,
+                 COUNT_IF(f_len) AS c1,
+                 COUNT_IF(f_len AND f_top) AS c2,
+                 COUNT_IF(f_len AND f_top AND f_div) AS c3,
+                 COUNT_IF(f_len AND f_top AND f_div AND f_rep) AS c4
+          FROM f)
+    SELECT '0_ingest' AS stage, c0 AS n_docs FROM a
+    UNION ALL SELECT '1_word_count', c1 FROM a
+    UNION ALL SELECT '2_top_word', c2 FROM a
+    UNION ALL SELECT '3_diversity', c3 FROM a
+    UNION ALL SELECT '4_repetition', c4 FROM a
+"""
+
+
+@q("curation_filter_funnel", _FUNNEL_SQL)
+def curation_filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-filter funnel: per-stage survival counts for a cumulative
+    filter chain (word count -> top-word fraction -> lexical diversity ->
+    2-gram repetition). The audit every curation run prints before
+    committing to thresholds.
+
+    Scale: one narrow map computing the four flags, then ONE single-row
+    conditional aggregation (sum of flag ints, partial-agg friendly); the
+    5-row funnel comes from stack() on that row — total cost is one corpus
+    scan regardless of size."""
+    words = F.split("text", " ")
+    n_words, n_distinct, top_cnt = _word_stats_cols(words)
+    n_2g, n_2g_d = _bigram_cols(words)
+    flags = T(spark, sf, "documents").select(
+        n_words.between(FUNNEL_LEN_MIN, FUNNEL_LEN_MAX).alias("f_len"),
+        (top_cnt.cast("double") / n_words <= FUNNEL_TOP_MAX).alias("f_top"),
+        (n_distinct.cast("double") / n_words >= FUNNEL_DIV_MIN).alias("f_div"),
+        (F.lit(1.0) - n_2g_d.cast("double") / n_2g <= FUNNEL_REP_MAX).alias("f_rep"),
+    )
+    agg = flags.agg(
+        F.count("*").alias("c0"),
+        F.sum(F.col("f_len").cast("long")).alias("c1"),
+        F.sum((F.col("f_len") & F.col("f_top")).cast("long")).alias("c2"),
+        F.sum((F.col("f_len") & F.col("f_top") & F.col("f_div")).cast("long")).alias("c3"),
+        F.sum(
+            (F.col("f_len") & F.col("f_top") & F.col("f_div") & F.col("f_rep")).cast("long")
+        ).alias("c4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, '0_ingest', c0, '1_word_count', c1, '2_top_word', c2,"
+            " '3_diversity', c3, '4_repetition', c4) AS (stage, n_docs)"
+        )
+    )
+
+
+# --------------------------------------------------------------- term DF
+
+TERM_DF_MIN = 2  # vocab floor: drop hapax terms (tokenizer-prep convention)
+
+
+@q(
+    "curation_term_df",
+    f"""
+    WITH p AS (SELECT DISTINCT doc_id, word
+               FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+                     FROM documents)),
+    n AS (SELECT COUNT(*) AS total FROM documents)
+    SELECT word AS term, COUNT(*) AS df,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT total FROM n) AS doc_frac
+    FROM p GROUP BY word HAVING COUNT(*) >= {TERM_DF_MIN}
+    """,
+)
+def curation_term_df(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus term document-frequency (tokenizer-vocabulary prep): for each
+    term, the number and fraction of documents containing it, hapaxes
+    dropped (df >= 2).
+
+    Scale: array_distinct BEFORE explode dedups (doc, term) map-side so the
+    groupBy(term) shuffle carries one row per (doc, term), not one per
+    occurrence; the corpus total rides in as a 1-row broadcast (no driver
+    collect). Natural-language term frequency is Zipfian, but the partial
+    agg absorbs the head terms map-side before the exchange."""
+    docs = T(spark, sf, "documents")
+    total = docs.agg(F.count("*").alias("total"))
+    pairs = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= TERM_DF_MIN)
+        .crossJoin(F.broadcast(total))
+        .select("term", "df", (F.col("df").cast("double") / F.col("total")).alias("doc_frac"))
+    )
