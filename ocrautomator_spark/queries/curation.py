@@ -234,6 +234,104 @@ def curation_filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------- stratified sampling
+
+# Per-language Bernoulli rates as md5-prefix thresholds: a doc is kept when
+# the first two hex chars of md5(doc_id) compare <= the stratum threshold.
+# '3f' = 64/256 = 25% (downsample overrepresented en), 'ff' = keep all
+# (low-resource zh), '7f' = 128/256 = 50% for the rest. The hash is on the
+# stable doc identity, so the sample is reproducible run-over-run and
+# engine-independent (md5 hex is identical in Spark and DuckDB).
+SAMPLE_THRESHOLDS = {"en": "3f", "zh": "ff"}
+SAMPLE_DEFAULT_THRESHOLD = "7f"
+
+
+def _threshold_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN '{th}'" for lang, th in sorted(SAMPLE_THRESHOLDS.items())
+    )
+    return f"CASE lang {whens} ELSE '{SAMPLE_DEFAULT_THRESHOLD}' END"
+
+
+@q(
+    "curation_sample_stratified",
+    f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= {_threshold_case_sql()}
+    """,
+)
+def curation_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified Bernoulli sampling by language: keep a doc
+    when a 2-hex-char prefix of md5(doc_id) falls under its stratum's
+    threshold (en 25%, zh 100%, default 50%). Hash-based sampling — not
+    rand() — so the sample is stable across retries, resumes, and engines,
+    which is what a resumable 100 TB curation run requires.
+
+    Scale: a pure narrow filter (zero shuffles, zero sort); the per-row cost
+    is one md5 of a short string. Rates are data-independent so the sampled
+    fraction concentrates tightly around the target at corpus scale."""
+    key = F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")), 1, 2)
+    threshold = F.lit(SAMPLE_DEFAULT_THRESHOLD)
+    for lang, th in sorted(SAMPLE_THRESHOLDS.items()):
+        threshold = F.when(F.col("lang") == lang, F.lit(th)).otherwise(threshold)
+    return (
+        T(spark, sf, "documents")
+        .filter(key <= threshold)
+        .select("doc_id", "lang", "source")
+    )
+
+
+# ------------------------------------------------------------ mix planning
+
+@q(
+    "curation_mix_plan",
+    """
+    WITH a AS (SELECT lang, COUNT(*) AS n_docs,
+                      CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY lang),
+    t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total, COUNT(*) AS n_strata FROM a)
+    SELECT lang, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / (SELECT total FROM t) AS token_share,
+           (CAST(1.0 AS DOUBLE) / (SELECT n_strata FROM t))
+             / (CAST(n_tokens AS DOUBLE) / (SELECT total FROM t)) AS mix_factor
+    FROM a
+    """,
+)
+def curation_mix_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus mix plan: per-language token counts, the share of the corpus
+    each language holds, and the up/down-sampling factor that would equalize
+    the mix (uniform target across strata) — the table a pretraining run
+    reads before setting per-source sampling weights.
+
+    Scale: one groupBy(lang) with map-side partials (tokens counted with
+    size(split) — JVM-side), then the grand total and stratum count join
+    back as a 1-row broadcast. Strata counts are tiny by definition, so
+    everything after the first agg is driver-free constant work."""
+    a = (
+        T(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        )
+    )
+    t = a.agg(
+        F.sum("n_tokens").alias("total"), F.count("*").alias("n_strata")
+    )
+    share = F.col("n_tokens").cast("double") / F.col("total")
+    return (
+        a.crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            share.alias("token_share"),
+            ((F.lit(1.0) / F.col("n_strata")) / share).alias("mix_factor"),
+        )
+    )
+
+
 # --------------------------------------------------------------- term DF
 
 TERM_DF_MIN = 2  # vocab floor: drop hapax terms (tokenizer-prep convention)

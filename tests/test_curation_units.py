@@ -122,6 +122,36 @@ def test_repetition_stats_pin_known_doc(spark):
     assert (r["nw"], r["nd"], r["tc"], r["g"], r["gd"]) == (4, 3, 2, 3, 3)
 
 
+def test_sample_stratified_is_narrow_deterministic_and_rate_sane(spark):
+    from ocrautomator_spark.queries.curation import SAMPLE_THRESHOLDS
+
+    plan = _plan(CQ["curation_sample_stratified"](spark, SF_DIR))
+    assert "Exchange" not in plan, "hash sampling must be a pure narrow filter"
+
+    a = {r["doc_id"] for r in CQ["curation_sample_stratified"](spark, SF_DIR).collect()}
+    b = {r["doc_id"] for r in CQ["curation_sample_stratified"](spark, SF_DIR).collect()}
+    assert a == b and a, "hash-based sample must be reproducible"
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # zh threshold 'ff' keeps everything in that stratum
+    n_zh = docs.filter(F.col("lang") == "zh").count()
+    out = CQ["curation_sample_stratified"](spark, SF_DIR)
+    assert out.filter(F.col("lang") == "zh").count() == n_zh
+    # en is downsampled: strictly fewer than the stratum (25% target)
+    n_en = docs.filter(F.col("lang") == "en").count()
+    k_en = out.filter(F.col("lang") == "en").count()
+    assert 0 < k_en < n_en
+    assert SAMPLE_THRESHOLDS["en"] == "3f"  # threshold pinned with the test
+
+
+def test_mix_plan_shares_sum_to_one_and_factor_inverts(spark):
+    rows = CQ["curation_mix_plan"](spark, SF_DIR).collect()
+    assert abs(sum(r["token_share"] for r in rows) - 1.0) < 1e-12
+    n = len(rows)
+    for r in rows:
+        assert r["mix_factor"] == (1.0 / n) / r["token_share"]
+
+
 def test_term_df_hapax_dropped_and_fraction_exact(spark):
     out = CQ["curation_term_df"](spark, SF_DIR).collect()
     assert all(r["df"] >= 2 for r in out)
