@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import time
 from collections.abc import Iterator
+from itertools import accumulate
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -68,34 +69,33 @@ def extract_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
         texts = rb.column(text_idx).to_pylist()
         results = [extract_one(t) for t in texts]
 
-        starts: list[int] = []
-        ends: list[int] = []
-        kinds: list[str] = []
-        offsets = [0]
-        for r in results:
-            for s in r.spans:
-                starts.append(s.start)
-                ends.append(s.end)
-                kinds.append(s.kind)
-            offsets.append(len(starts))
+        # ExtractResult and Span are NamedTuples, so zip(*...) unzips the
+        # whole batch at C speed — no per-row/per-span Python append loops.
+        ext_texts, span_lists, pks = zip(*results) if results else ((), (), ())
+        flat_spans = [s for spans in span_lists for s in spans]
+        if flat_spans:
+            starts, ends, kinds = zip(*flat_spans)
+        else:
+            starts = ends = kinds = ()
+        offsets = list(accumulate(map(len, span_lists), initial=0))
         span_structs = pa.StructArray.from_arrays(
             [pa.array(starts, pa.int32()), pa.array(ends, pa.int32()), pa.array(kinds, pa.string())],
             fields=list(_SPAN_TYPE),
         )
         spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), span_structs)
 
-        extracted = pa.array([r.extracted_text for r in results], pa.string())
+        extracted = pa.array(ext_texts, pa.string())
         latency_ms = (time.perf_counter() - t0) * 1000.0
         n = rb.num_rows
         new_cols = [
             extracted,
             spans,
-            pa.array([r.payload_kind for r in results], pa.string()),
+            pa.array(pks, pa.string()),
             pa.array([EXTRACTOR_VERSION] * n, pa.string()),
             pa.array([pid] * n, pa.int32()),
             pa.array([latency_ms] * n, pa.float64()),
             pc.cast(pc.utf8_length(rb.column(text_idx)), pa.int32()),
-            pa.array([len(r.extracted_text) for r in results], pa.int32()),
+            pc.cast(pc.utf8_length(extracted), pa.int32()),
         ]
         keep_idx = [i for i, name in enumerate(rb.schema.names) if name != "text"]
         cols = [rb.column(i) for i in keep_idx] + new_cols
