@@ -17,7 +17,9 @@ from __future__ import annotations
 
 from ocrautomator_spark.queries import (
     conversation_q,
+    corpus_ops,
     curation,
+    events_analytics,
     extraction,
     pipeline_ops,
     relational,
@@ -38,6 +40,8 @@ _MODULES = [
     extraction,
     conversation_q,
     curation,
+    events_analytics,
+    corpus_ops,
     scale_demo,
 ]
 QUERIES = {k: v for m in _MODULES for k, v in m.QUERIES.items()}

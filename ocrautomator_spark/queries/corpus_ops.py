@@ -1,0 +1,312 @@
+"""Corpus lifecycle operators — the ops a recurring 100 TB ingest runs
+between crawls: incremental dedup against the existing snapshot, duplicate-
+cluster resolution that keeps the BEST member (not just the min id), BM25
+retrieval over the corpus, and shuffle-balance diagnostics.
+
+Engine-parity discipline: deterministic splits/buckets come from md5-hex
+prefixes of stable ids (identical strings in Spark and DuckDB — no rand()),
+dedup fingerprints are sha2-256 (collision-resistant, CLAUDE.md invariant),
+and BM25 emits RANKS, not raw double scores: ln() is correctly-rounded in
+neither engine, so the oracle gate hashes the ordering (robust to 1-ulp
+score wiggle) plus integer evidence columns, never the transcendental.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ocrautomator_spark.queries.common import T
+from ocrautomator_spark.queries.pipeline_ops import (
+    _CC_EDGES_SQL,
+    _cc_min_label,
+    dedup_ngram_jaccard,
+)
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------- incremental dedup
+
+# Deterministic crawl-cycle model on an md5(doc_id) prefix: the snapshot
+# holds prefixes '0'-'b' (75% already ingested); the new crawl fetches
+# prefixes '8'-'f' (50%) — so '8'-'b' are RE-crawled known pages the
+# snapshot anti-join must kill, and 'c'-'f' are genuinely new. Pages with
+# prefix 'c'-'d' are additionally fetched TWICE in the batch (replayed
+# under doc_id + REPLAY_OFFSET), exercising the in-batch arg-min dedup.
+# The base corpus has no exact-text dups, so every code path is exercised
+# by construction, not by luck.
+SNAP_MAX = "b"
+INC_MIN = "8"
+REPLAY_MAX = "d"
+REPLAY_OFFSET = 10_000_000
+
+
+@q(
+    "dedup_incremental_snapshot",
+    f"""
+    WITH px AS (SELECT *, substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS pfx
+                FROM documents),
+    s AS (SELECT DISTINCT sha256(text) AS fp FROM px WHERE pfx <= '{SNAP_MAX}'),
+    i AS (SELECT doc_id, lang, source, sha256(text) AS fp
+          FROM px WHERE pfx >= '{INC_MIN}'
+          UNION ALL
+          SELECT doc_id + {REPLAY_OFFSET}, lang, source, sha256(text)
+          FROM px WHERE pfx > '{SNAP_MAX}' AND pfx <= '{REPLAY_MAX}'),
+    n AS (SELECT * FROM i WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.fp = i.fp))
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM n)
+    WHERE rn = 1
+    """,
+)
+def dedup_incremental_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental (cross-run) dedup: from the incoming crawl batch, keep
+    only documents whose sha2-256 content fingerprint does not already exist
+    in the ingested snapshot, then dedup within the batch itself (arg-min
+    doc_id per fingerprint). This is the op a recurring crawl runs before
+    appending — batch-vs-snapshot, not the whole-corpus self-dedup of
+    dedup_exact. The deterministic split overlaps (re-crawled pages) and
+    replays some fetches (in-batch dups), so both kill paths are exercised.
+
+    Scale: the anti-join and the in-batch groupBy both shuffle a fixed-width
+    32-byte key, never the payload; the snapshot side is a pre-distincted
+    fingerprint column (in production: the dedup index table, not a rescan).
+    The arg-min survivor rides the same groupBy as a struct min — no second
+    join back to the batch."""
+    docs = T(spark, sf, "documents")
+    prefix = F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")), 1, 1)
+    px = docs.select("doc_id", "lang", "source", "text", prefix.alias("pfx"))
+    fp = F.sha2(F.encode("text", "utf-8"), 256).alias("fp")
+    snap = px.filter(F.col("pfx") <= SNAP_MAX).select(fp).distinct()
+    inc = px.filter(F.col("pfx") >= INC_MIN).select("doc_id", "lang", "source", fp)
+    replay = (
+        px.filter((F.col("pfx") > SNAP_MAX) & (F.col("pfx") <= REPLAY_MAX))
+        .select((F.col("doc_id") + REPLAY_OFFSET).alias("doc_id"), "lang", "source", fp)
+    )
+    fresh = inc.unionAll(replay).join(snap, "fp", "left_anti")
+    # struct min orders by the first field, so this is arg-min by doc_id
+    return (
+        fresh.groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "lang", "source")).alias("s"))
+        .select(F.col("s.doc_id").alias("doc_id"), F.col("s.lang").alias("lang"), F.col("s.source").alias("source"))
+    )
+
+
+# ------------------------------------------------- cluster keep-best
+
+@q(
+    "dedup_cluster_keep_best",
+    f"""
+    WITH RECURSIVE
+    {_CC_EDGES_SQL},
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    m AS (SELECT node, MIN(lbl) AS lbl FROM reach GROUP BY node),
+    dd AS (SELECT d.doc_id, COALESCE(m.lbl, d.doc_id) AS comp, length(d.text) AS n_chars
+           FROM documents d LEFT JOIN m ON m.node = d.doc_id),
+    k AS (SELECT comp, doc_id AS keeper FROM (
+            SELECT comp, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY comp ORDER BY n_chars DESC, doc_id) AS rn
+            FROM dd)
+          WHERE rn = 1)
+    SELECT dd.doc_id, k.keeper,
+           CASE WHEN k.keeper = dd.doc_id THEN 1 ELSE 0 END AS is_keeper
+    FROM dd JOIN k USING (comp)
+    """,
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-cluster resolution keeping the RICHEST member: connected
+    components over the near-dup graph (same CC as dedup_cluster_keeper),
+    keeper = longest document in the component, ties to min doc_id. In a
+    curation pipeline this beats keep-min-id — near-dup clusters usually
+    contain one full page and N truncated/boilerplate variants.
+
+    Scale: the component labels come from the shared pointer-jumping CC
+    (O(log d) rounds, de-skewed ref side); the arg-max is a struct-min
+    aggregate on the component key, and the membership join reuses the comp
+    partitioning the aggregate just established."""
+    pairs = dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
+    labels = _cc_min_label(pairs)
+    docs = T(spark, sf, "documents").select("doc_id", F.length("text").alias("n_chars"))
+    dd = (
+        docs.join(labels, docs.doc_id == labels.node, "left")
+        .select("doc_id", F.coalesce("lbl", "doc_id").alias("comp"), "n_chars")
+    )
+    # struct min on (-n_chars, doc_id) = longest doc, ties to min doc_id
+    best = dd.groupBy("comp").agg(
+        F.min(F.struct((-F.col("n_chars")).alias("neg"), F.col("doc_id").alias("keeper"))).alias("b")
+    )
+    return (
+        dd.join(best, "comp")
+        .select(
+            "doc_id",
+            F.col("b.keeper").alias("keeper"),
+            F.when(F.col("b.keeper") == F.col("doc_id"), 1).otherwise(0).alias("is_keeper"),
+        )
+    )
+
+
+# ------------------------------------------------------ BM25 retrieval
+
+BM25_TERMS = ("join", "scan", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def _bm25_tf_sql(term: str) -> str:
+    return f"len(list_filter(string_split(text, ' '), x -> x = '{term}'))"
+
+
+@q(
+    "search_bm25_topk",
+    f"""
+    WITH d AS (SELECT doc_id,
+                      len(string_split(text, ' ')) AS dl,
+                      {", ".join(f"{_bm25_tf_sql(t)} AS tf{i}" for i, t in enumerate(BM25_TERMS))}
+               FROM documents),
+    g AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                 {", ".join(f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(len(BM25_TERMS)))}
+          FROM d),
+    s AS (SELECT d.doc_id,
+                 ({" + ".join(
+                     f"CASE WHEN tf{i} > 0 THEN ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+                     f" * (tf{i} * ({BM25_K1} + 1.0))"
+                     f" / (tf{i} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl)) ELSE 0.0 END"
+                     for i in range(len(BM25_TERMS)))}) AS score,
+                 ({" + ".join(f"CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END" for i in range(len(BM25_TERMS)))}) AS n_terms,
+                 ({" + ".join(f"tf{i}" for i in range(len(BM25_TERMS)))}) AS tf_total
+          FROM d, g WHERE {" + ".join(f"tf{i}" for i in range(len(BM25_TERMS)))} > 0)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+           doc_id, n_terms, tf_total
+    FROM s ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}
+    """,
+)
+def search_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 retrieval: top-K documents for a fixed multi-term query, Okapi
+    scoring (k1=1.2, b=0.75). The gate hashes (rank, doc_id) plus
+    integer evidence (terms matched, total tf) — never the raw score, whose
+    ln() is engine-rounding-dependent.
+
+    Scale: per-term tf is an array HOF on the already-split words — a pure
+    narrow map, NO posting-list explode and NO (doc, term) shuffle. Corpus
+    stats (N, avgdl, per-term df) reduce to ONE broadcast row, scoring is a
+    second narrow map, and the only ordering work is TakeOrderedAndProject
+    on (score, doc_id) — a single corpus pass end to end."""
+    docs = T(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+
+    def tf(term: str):
+        # single-parameter lambda: a two-parameter one would receive the
+        # array INDEX as its second argument from F.filter
+        return F.size(F.filter("words", lambda w: w == F.lit(term)))
+
+    d = docs.select(
+        "doc_id",
+        F.size("words").alias("dl"),
+        *[tf(t).alias(f"tf{i}") for i, t in enumerate(BM25_TERMS)],
+    )
+    nterms = len(BM25_TERMS)
+    g = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(nterms)
+        ],
+    )
+    score = None
+    for i in range(nterms):
+        tf = F.col(f"tf{i}").cast("double")
+        idf = F.log(
+            (F.col("n") - F.col(f"df{i}") + F.lit(0.5)) / (F.col(f"df{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        part = F.when(
+            F.col(f"tf{i}") > 0,
+            idf
+            * (tf * F.lit(BM25_K1 + 1.0))
+            / (tf + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))),
+        ).otherwise(F.lit(0.0))
+        score = part if score is None else score + part
+    tf_total = sum(F.col(f"tf{i}") for i in range(nterms))
+    n_matched = sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0) for i in range(nterms))
+    s = (
+        d.crossJoin(F.broadcast(g))
+        .filter(tf_total > 0)
+        .select(
+            "doc_id",
+            score.alias("score"),
+            n_matched.alias("n_terms"),
+            tf_total.alias("tf_total"),
+        )
+    )
+    top = s.orderBy(F.col("score").desc(), "doc_id").limit(BM25_TOPK)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"), "doc_id", "n_terms", "tf_total"
+    )
+
+
+# ------------------------------------------------- shuffle-balance diag
+
+SKEW_KEY_TABLE = "events"
+SKEW_KEY_COL = "user_id"
+
+
+@q(
+    "diag_key_skew",
+    f"""
+    WITH b AS (SELECT substring(md5(CAST({SKEW_KEY_COL} AS VARCHAR)), 1, 1) AS bucket,
+                      {SKEW_KEY_COL} AS k
+               FROM {SKEW_KEY_TABLE}),
+    t AS (SELECT COUNT(*) AS total FROM b)
+    SELECT bucket, COUNT(*) AS n_rows, COUNT(DISTINCT k) AS n_keys,
+           CAST(COUNT(*) * 16.0 / (SELECT total FROM t) AS DOUBLE) AS balance_ratio
+    FROM b GROUP BY bucket
+    """,
+)
+def diag_key_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle-balance diagnostic: rows and distinct keys per md5-prefix
+    bucket (16 buckets) for a prospective shuffle key, with the ratio of
+    each bucket to the uniform share. The pre-flight check a 100 TB job runs
+    before committing to a partitioning — balance_ratio >> 1 on a bucket
+    means a straggler task. md5 buckets (not Spark's murmur3) so the oracle
+    computes the identical assignment.
+
+    Scale: one groupBy over a 16-value key with map-side partials (the
+    distinct-key count shuffles (bucket, key) pairs, bounded by key
+    cardinality); the total rides back as a 1-row broadcast."""
+    b = T(spark, sf, SKEW_KEY_TABLE).select(
+        F.substring(F.md5(F.encode(F.col(SKEW_KEY_COL).cast("string"), "utf-8")), 1, 1).alias("bucket"),
+        F.col(SKEW_KEY_COL).alias("k"),
+    )
+    t = b.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.countDistinct("k").alias("n_keys"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "bucket",
+            "n_rows",
+            "n_keys",
+            (F.col("n_rows") * F.lit(16.0) / F.col("total")).cast("double").alias("balance_ratio"),
+        )
+    )
