@@ -78,6 +78,8 @@ HEADLINE = [
     "conv_merge_runs",
     "ann_quantized_topk",
     "pipeline_e2e",
+    "events_sessionize",
+    "search_bm25_topk",
     "extract_flagship",
 ]
 
