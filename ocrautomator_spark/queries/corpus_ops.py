@@ -234,7 +234,7 @@ def search_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
     score = None
     for i in range(nterms):
-        tf = F.col(f"tf{i}").cast("double")
+        tf_d = F.col(f"tf{i}").cast("double")
         idf = F.log(
             (F.col("n") - F.col(f"df{i}") + F.lit(0.5)) / (F.col(f"df{i}") + F.lit(0.5))
             + F.lit(1.0)
@@ -242,8 +242,8 @@ def search_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         part = F.when(
             F.col(f"tf{i}") > 0,
             idf
-            * (tf * F.lit(BM25_K1 + 1.0))
-            / (tf + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))),
+            * (tf_d * F.lit(BM25_K1 + 1.0))
+            / (tf_d + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))),
         ).otherwise(F.lit(0.0))
         score = part if score is None else score + part
     tf_total = sum(F.col(f"tf{i}") for i in range(nterms))

@@ -114,7 +114,11 @@ def _bigram_cols(words):
     return F.size(grams), F.size(F.array_distinct(grams))
 
 
-_REP_STATS_SQL = """
+# The per-doc word/bigram stats CTE — the SQL twin of _word_stats_cols +
+# _bigram_cols. ONE definition shared by the repetition-stats and funnel
+# oracles so the twins cannot drift from each other (the DataFrame side
+# already shares the column helpers).
+_WORD_STATS_CTE = """
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
     s AS (SELECT doc_id,
                  len(words) AS n_words,
@@ -126,6 +130,10 @@ _REP_STATS_SQL = """
                  len(list_distinct(list_transform(generate_series(1, greatest(len(words)-1, 1)),
                      i -> array_to_string(words[i:i+1], ' ')))) AS n_2g_d
           FROM w)
+"""
+
+_REP_STATS_SQL = f"""
+    {_WORD_STATS_CTE}
     SELECT doc_id, n_words,
            CAST(n_distinct AS DOUBLE) / n_words AS distinct_word_ratio,
            CAST(top_cnt AS DOUBLE) / n_words AS top_word_fraction,
@@ -166,17 +174,7 @@ FUNNEL_DIV_MIN = 0.35
 FUNNEL_REP_MAX = 0.08
 
 _FUNNEL_SQL = f"""
-    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-    s AS (SELECT doc_id,
-                 len(words) AS n_words,
-                 len(list_distinct(words)) AS n_distinct,
-                 list_max(list_transform(list_distinct(words),
-                     x -> len(list_filter(words, y -> y = x)))) AS top_cnt,
-                 len(list_transform(generate_series(1, greatest(len(words)-1, 1)),
-                     i -> array_to_string(words[i:i+1], ' '))) AS n_2g,
-                 len(list_distinct(list_transform(generate_series(1, greatest(len(words)-1, 1)),
-                     i -> array_to_string(words[i:i+1], ' ')))) AS n_2g_d
-          FROM w),
+    {_WORD_STATS_CTE},
     f AS (SELECT
             n_words BETWEEN {FUNNEL_LEN_MIN} AND {FUNNEL_LEN_MAX} AS f_len,
             CAST(top_cnt AS DOUBLE) / n_words <= {FUNNEL_TOP_MAX} AS f_top,

@@ -72,12 +72,19 @@ JACCARD_THRESHOLD = 0.15
 MAX_DF = 100  # stop-gram guard: grams in more docs than this are dropped
 
 
-def _word_ngrams(df: DataFrame, n: int) -> DataFrame:
-    """doc_id → distinct word n-grams (whole doc as one gram when too short)."""
+def _gram_array(n: int):
+    """Word n-gram array column over split text (whole doc as one gram when
+    too short) — the ONE shingle definition, shared by the weighted and
+    unweighted minhash variants and mirrored by the oracles' words[i:i+n-1]
+    idiom; change it here and both estimators + SQL twins stay comparable."""
     words = F.split("text", " ")
     idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
-    return df.select("doc_id", F.explode(grams).alias("gram")).distinct()
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+
+
+def _word_ngrams(df: DataFrame, n: int) -> DataFrame:
+    """doc_id → distinct word n-grams (whole doc as one gram when too short)."""
+    return df.select("doc_id", F.explode(_gram_array(n)).alias("gram")).distinct()
 
 
 @q(
@@ -248,10 +255,9 @@ def dedup_minhash_weighted(spark: SparkSession, sf: str) -> DataFrame:
     hot-bucket star guard with dedup_minhash_lsh. Pinned by unit tests: docs
     with identical gram sets but 10×-different counts are NOT paired (J_w ≈
     0.14) while unweighted minhash estimates 1.0."""
-    words = F.split("text", " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, 3)))
-    g = T(spark, sf, "documents").select("doc_id", F.explode(grams).alias("gram"))
+    g = T(spark, sf, "documents").select(
+        "doc_id", F.explode(_gram_array(3)).alias("gram")
+    )
     gc = g.groupBy("doc_id", "gram").agg(
         F.least(F.count("*"), F.lit(WMINHASH_MAX_W)).alias("w")
     )
@@ -1020,12 +1026,18 @@ def _kmeanspp_seed_cents(
     Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
     chosen = [0]  # first seed: the sample's min-hash row (deterministic)
     d = np.clip(1.0 - Xn @ Xn[0], 0.0, None)
-    for r in range(1, nlist):
+    # degenerate corpora (fewer sample points than nlist, or mass-duplicate
+    # vectors) yield fewer usable seeds than requested: stop early with the
+    # seeds we have rather than crash — Lloyd refinement and the argmax
+    # assignment are well-defined for any centroid count >= 1
+    for r in range(1, min(nlist, len(X))):
         w = d * d
         tot = float(w.sum())
         if tot <= 0.0:
             taken = set(chosen)
-            idx = next(i for i in range(len(X)) if i not in taken)
+            idx = next((i for i in range(len(X)) if i not in taken), None)
+            if idx is None:
+                break  # every remaining point duplicates a chosen seed
         else:
             u = (
                 int.from_bytes(hashlib.blake2b(f"kpp|{r}".encode(), digest_size=8).digest(), "big")

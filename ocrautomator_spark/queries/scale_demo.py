@@ -36,14 +36,19 @@ def _sfx(sf: str, src: str = "orders") -> str:
 
     key = sf
     p = pathlib.Path(sf) / f"{src}.parquet"
-    try:
-        st = p.stat()
-        key += f"|{src}|{st.st_mtime_ns}|{st.st_size}"
-    except OSError:
-        # directory-style parquet: fold in every part file's stat
-        for part in sorted(pathlib.Path(sf).glob(f"{src}.parquet/*.parquet")):
+    if p.is_dir():
+        # directory-style parquet: a part file rewritten in place under the
+        # same name leaves the DIRECTORY stat unchanged, so the key must
+        # fold in every part file's own stat
+        for part in sorted(p.glob("*.parquet")):
             st = part.stat()
             key += f"|{part.name}|{st.st_mtime_ns}|{st.st_size}"
+    else:
+        try:
+            st = p.stat()
+            key += f"|{src}|{st.st_mtime_ns}|{st.st_size}"
+        except OSError:
+            pass  # missing source: constant key; the read itself will fail loudly
     return hashlib.md5(key.encode()).hexdigest()[:8]
 
 

@@ -257,6 +257,26 @@ def test_kmeanspp_beats_naive_seeding(spark):
     assert len(exact & km) / len(exact) >= 0.5  # deterministic; measured 0.6
 
 
+def test_kmeanspp_degenerate_corpora_do_not_crash(spark):
+    """Fewer sample points than NLIST, and mass-duplicate vectors, must
+    yield a reduced (but valid, >= 1) centroid set — not StopIteration."""
+    from pyspark.sql import functions as F
+
+    from ocrautomator_spark.queries import pipeline_ops as po
+
+    tiny = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0]) for i in range(3)], "vec_id long, v array<double>"
+    ).withColumn("nrm", F.sqrt(po._dot(F.col("v"), F.col("v"))))
+    cents = po._kmeanspp_seed_cents(spark, tiny).collect()
+    assert 1 <= len(cents) <= 3
+
+    dup = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(40)], "vec_id long, v array<double>"
+    ).withColumn("nrm", F.sqrt(po._dot(F.col("v"), F.col("v"))))
+    cents = po._kmeanspp_seed_cents(spark, dup).collect()
+    assert len(cents) >= 1
+
+
 def test_ivf_kmeans_planted_neighborhood_recall(spark):
     """The regime IVF is built for: plant 10 colinear near-duplicates of the
     query vector (cosine 1.0 ≫ max natural ≈ 0.6). They must assign to the
