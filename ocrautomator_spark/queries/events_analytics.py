@@ -60,9 +60,10 @@ _SQL_E = "SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events"
 
 # ------------------------------------------------------------ sessionization
 
-@q(
-    "events_sessionize",
-    f"""
+# ONE oracle gates both executions of the gap rule: the batch two-window
+# construction AND the stateful streaming operator (run to completion over
+# the same events, they must agree row-for-row).
+_SESSIONIZE_SQL = f"""
     WITH e AS ({_SQL_E}),
     g AS (SELECT *, CASE WHEN LAG(t) OVER w IS NULL
                            OR t - LAG(t) OVER w > {SESSION_GAP_US}
@@ -76,8 +77,10 @@ _SQL_E = "SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events"
            MIN(t) AS session_start_us, MAX(t) AS session_end_us,
            CAST((MAX(t) - MIN(t)) / 1000000.0 AS DOUBLE) AS duration_sec
     FROM s GROUP BY user_id, sess
-    """,
-)
+"""
+
+
+@q("events_sessionize", _SESSIONIZE_SQL)
 def events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Gaps-and-islands sessionization: a session breaks when the per-user
     inter-event gap exceeds SESSION_GAP_US. Classic two-window construction
@@ -109,6 +112,21 @@ def events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
         "session_end_us",
         "duration_sec",
     )
+
+
+@q("streaming_sessionize", _SESSIONIZE_SQL)
+def streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL streaming execution of the sessionize gap rule: a custom
+    stateful operator (applyInPandasWithState) carries each user's open
+    session across microbatches and re-emits extents in update mode; the
+    sink's max-per-(user, session) rows are the completed sessions. Gated by
+    the SAME DuckDB oracle as the batch entry — a streaming run to
+    completion must reproduce the batch answer exactly.
+
+    Scale: state is O(active users) × 4 longs; emission is O(sessions
+    touched per batch). The file source is swapped for Kafka/Iceberg plus a
+    durable checkpointLocation in deployment (see streaming/jobs.py)."""
+    return sj.stateful_sessionize(spark, sf, gap_us=SESSION_GAP_US)
 
 
 # ------------------------------------------------------------------- funnel

@@ -190,3 +190,107 @@ def stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "update",
         lambda df: df.groupBy("user_id").agg(F.max("n_events").alias("n_events")),
     )
+
+
+def stateful_sessionize(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_us: int = 8 * 3600 * 1_000_000,
+    stream: DataFrame | None = None,
+) -> DataFrame:
+    """Custom stateful STREAMING sessionization (applyInPandasWithState):
+    per-user state carries the open session (last event time, session
+    ordinal, start, count); each microbatch extends or closes sessions under
+    the same gap rule as the batch events_sessionize, so running the stream
+    to completion over the same events reproduces the batch output exactly —
+    which is what lets a DuckDB batch oracle gate a real streaming execution.
+
+    Update-mode emission: every session touched in a batch is (re-)emitted
+    with its extent so far; sessions only grow, so the sink's final row per
+    (user, session_idx) — selected by max(n_events) downstream — is the
+    complete session. Cross-batch continuation is handled by the carried
+    state; the file source delivers one deterministic batch here, and a real
+    deployment accepting out-of-order arrivals would front this with a
+    watermarked sort or use session windows instead."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import IntegerType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType(), True),
+            StructField("session_idx", IntegerType(), True),
+            StructField("n_events", LongType(), True),
+            StructField("session_start_us", LongType(), True),
+            StructField("session_end_us", LongType(), True),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_t", LongType(), True),
+            StructField("sess", LongType(), True),
+            StructField("start", LongType(), True),
+            StructField("n", LongType(), True),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(["t", "event_id"])
+        if state.exists:
+            last_t, sess, start, n = state.get
+        else:
+            last_t, sess, start, n = 0, 0, 0, 0
+        out = []
+        for t in pdf["t"].tolist():
+            if sess == 0 or t - last_t > gap_us:
+                if sess > 0:
+                    out.append((sess, n, start, last_t))  # close previous
+                sess += 1
+                start = t
+                n = 1
+            else:
+                n += 1
+            last_t = t
+        out.append((sess, n, start, last_t))  # open session, extent so far
+        state.update((last_t, sess, start, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out),
+                "session_idx": [int(s) for s, _, _, _ in out],
+                "n_events": [n_ for _, n_, _, _ in out],
+                "session_start_us": [st for _, _, st, _ in out],
+                "session_end_us": [en for _, _, _, en in out],
+            }
+        )
+
+    sess = (
+        (stream if stream is not None else events_stream(spark, sf_dir))
+        .select("user_id", "event_id", F.unix_micros("ts").alias("t"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    return run_to_memory(
+        sess,
+        "update",
+        lambda df: df.groupBy("user_id", "session_idx")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("session_start_us").alias("session_start_us"),
+            F.max("session_end_us").alias("session_end_us"),
+        )
+        .select(
+            "user_id",
+            "session_idx",
+            "n_events",
+            "session_start_us",
+            "session_end_us",
+            (
+                (F.col("session_end_us") - F.col("session_start_us")) / F.lit(1000000.0)
+            ).cast("double").alias("duration_sec"),
+        ),
+    )

@@ -68,3 +68,62 @@ def test_append_mode_drops_late_beyond_watermark(spark, tmp_path):
     h12 = int(datetime(2024, 1, 1, 12).timestamp() * 1e6)
     assert got.get(h10) == 2, f"late event must NOT be counted: {got}"
     assert got.get(h12) == 1
+
+
+def test_stateful_sessionize_continues_sessions_across_microbatches(spark, tmp_path):
+    """Split the events table at its global time midpoint into two files and
+    force one microbatch per file (maxFilesPerTrigger=1): sessions straddling
+    the split exist ONLY if the operator's carried state merges them — a
+    per-batch recompute would break every straddling session in two. The
+    result must equal the batch events_sessionize over the full table."""
+    import os
+    import time as _time
+
+    import duckdb
+
+    from ocrautomator_spark.queries.events_analytics import (
+        QUERIES as EQ,
+        SESSION_GAP_US,
+    )
+    from ocrautomator_spark.streaming.jobs import stateful_sessionize
+    from tests.conftest import SF_DIR
+
+    src = f"{SF_DIR}/events.parquet"
+    con = duckdb.connect()
+    mid = con.execute(
+        f"SELECT CAST(AVG(epoch_us(ts)) AS BIGINT) FROM read_parquet('{src}')"
+    ).fetchone()[0]
+    indir = tmp_path / "in"
+    indir.mkdir()
+    for i, cmp in enumerate(("<=", ">")):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}') WHERE epoch_us(ts) {cmp} {mid} "
+            f"ORDER BY user_id, ts, event_id) TO '{indir}/{i:03d}.parquet' (FORMAT PARQUET)"
+        )
+        os.utime(indir / f"{i:03d}.parquet", (1000000 + i * 100, 1000000 + i * 100))
+        _time.sleep(0.05)
+
+    # non-vacuity: at least one user's straddling gap is within the session
+    # threshold, so at least one session MUST span the two microbatches
+    straddle = con.execute(f"""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM read_parquet('{src}')),
+        a AS (SELECT user_id, MAX(t) AS last_a FROM e WHERE t <= {mid} GROUP BY user_id),
+        b AS (SELECT user_id, MIN(t) AS first_b FROM e WHERE t > {mid} GROUP BY user_id)
+        SELECT COUNT(*) FROM a JOIN b USING (user_id)
+        WHERE first_b - last_a <= {SESSION_GAP_US}
+    """).fetchone()[0]
+    assert straddle > 0, "split produced no straddling sessions; test is vacuous"
+
+    from ocrautomator_spark.streaming.jobs import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+    )
+    streamed = stateful_sessionize(spark, SF_DIR, stream=stream)
+    batch = EQ["events_sessionize"](spark, SF_DIR)
+    cols = sorted(batch.columns)
+    s = sorted(tuple(r) for r in streamed.select(*cols).collect())
+    b = sorted(tuple(r) for r in batch.select(*cols).collect())
+    assert s == b
