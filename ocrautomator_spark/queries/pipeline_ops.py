@@ -1419,7 +1419,22 @@ def pack_contiguous_bins(spark: SparkSession, sf: str) -> DataFrame:
 
 # ------------------------------------------------------------ multimodal (stubbed decode)
 
-@q("mm_image_features")  # binary plumbing real, decode deterministic STUB → rows-only
+@q(
+    "mm_image_features",
+    # the decode STUB is hash-deterministic, so the full plumbing — binary
+    # encoding, Arrow transfer, per-row decode, schema — is SQL-expressible
+    # and hash-gated (md5 of the utf-8 payload is identical in both engines)
+    """
+    WITH h AS (SELECT doc_id, md5(text) AS h,
+                      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+               FROM documents)
+    SELECT doc_id, n_bytes,
+           CAST(64 + CAST('0x' || substring(h, 1, 4) AS INT) % 1984 AS INT) AS width,
+           CAST(64 + CAST('0x' || substring(h, 5, 4) AS INT) % 1984 AS INT) AS height,
+           substring(h, 1, 16) AS phash
+    FROM h
+    """,
+)
 def mm_image_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal column plumbing: image/audio/video as opaque ``binary`` with
     typed metadata, processed by mapInPandas feature extraction.
@@ -1461,7 +1476,21 @@ def mm_image_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@q("mm_audio_features")  # STUBBED decode (no audio libs) → rows-only
+@q(
+    "mm_audio_features",
+    """
+    WITH h AS (SELECT doc_id, md5(text) AS h,
+                      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+               FROM documents),
+    x AS (SELECT doc_id, h, n_bytes,
+                 CAST(1000 + CAST('0x' || substring(h, 1, 5) AS BIGINT) % 600000 AS BIGINT) AS duration_ms
+          FROM h)
+    SELECT doc_id, n_bytes, duration_ms,
+           duration_ms * 16 AS n_samples,
+           CAST(CAST('0x' || substring(h, 6, 4) AS INT) / 65535.0 AS DOUBLE) AS rms
+    FROM x
+    """,
+)
 def mm_audio_features(spark: SparkSession, sf: str) -> DataFrame:
     """Audio as opaque binary + typed metadata; feature extraction over
     mapInPandas. ``_decode_stub`` fakes (duration, sample count, rms) from the
@@ -1486,7 +1515,21 @@ def mm_audio_features(spark: SparkSession, sf: str) -> DataFrame:
     return d.mapInPandas(extract, "doc_id long, n_bytes long, duration_ms long, n_samples long, rms double")
 
 
-@q("mm_video_frame_sample")  # STUBBED decode → rows-only
+@q(
+    "mm_video_frame_sample",
+    # chr(i) for i <= 6 utf-8-encodes to the single byte i, so
+    # md5(text || chr(i)) equals the stub's md5(payload + bytes([i]))
+    """
+    WITH h AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+    n AS (SELECT doc_id, text,
+                 2 + CAST('0x' || substring(h, 1, 2) AS INT) % 6 AS n_frames
+          FROM h)
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           CAST(i * 2000 AS BIGINT) AS ts_ms,
+           substring(md5(text || chr(CAST(i AS INT))), 1, 16) AS frame_hash
+    FROM n, UNNEST(generate_series(0, n_frames - 1)) AS t(i)
+    """,
+)
 def mm_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Video frame sampling shape: one input row → N sampled-frame rows
     (mapInPandas as a table function). Deterministic fake frame hashes stand
