@@ -1322,9 +1322,37 @@ _LANG_PROFILES = {
 }
 
 
-@q("lang_id")  # heuristic classifier → rows-only
+def _lang_id_sql() -> str:
+    """SQL twin of the pandas classifier: non-overlapping fixed-substring
+    counts via replace-length arithmetic (≡ re.findall counting for fixed
+    strings), one score division per language, argmax with idxmax's
+    first-in-profile-order tie-break."""
+
+    def cnt(g: str) -> str:
+        g = g.replace("'", "''")
+        return f"(length(t) - length(replace(t, '{g}', ''))) / {len(g)}"
+
+    score_cols = ", ".join(
+        f"CAST(({' + '.join(cnt(g) for g in grams)}) AS DOUBLE) / greatest(length(t), 1) AS s_{lang}"
+        for lang, grams in _LANG_PROFILES.items()
+    )
+    gmax = f"greatest({', '.join('s_' + lang for lang in _LANG_PROFILES)})"
+    pick = " ".join(f"WHEN s_{lang} = g THEN '{lang}'" for lang in _LANG_PROFILES)
+    return f"""
+    WITH lt AS (SELECT doc_id, lang, lower(coalesce(text, '')) AS t FROM documents),
+    s AS (SELECT doc_id, lang, {score_cols} FROM lt),
+    m AS (SELECT *, {gmax} AS g FROM s)
+    SELECT doc_id, lang,
+           CASE WHEN g <= 0 THEN 'und' {pick} END AS lang_pred
+    FROM m
+    """
+
+
+@q("lang_id", _lang_id_sql())
 def lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    """N-gram-heuristic language ID (Arrow-batched; vectorized str.count)."""
+    """N-gram-heuristic language ID (Arrow-batched; vectorized str.count).
+    Hash-oracled: the bigram counting, length normalization, and
+    first-wins argmax are reproduced exactly in SQL (_lang_id_sql)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
