@@ -527,18 +527,74 @@ def dedup_cluster_keeper(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _cc_min_label(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
+# Edge-count bound for the driver-side union-find fast path. A candidate
+# pair graph at or below this size resolves in milliseconds on the driver;
+# above it, the distributed loop runs. The collect is BOUNDED by
+# construction (we count first on the checkpointed edge set), so this is
+# the standard hybrid, not an unbounded driver materialization.
+CC_DRIVER_MAX_EDGES = 1 << 17
+
+
+def _uf_min_label(edges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Union-find with min-label roots over an edge list: (node, min label
+    in component) for every node that appears in an edge — the exact
+    contract of the distributed loop, in O(E α(E))."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-id root so the root IS the component's min label
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return [(n, find(n)) for n in parent]
+
+
+def _cc_min_label(
+    pairs: DataFrame,
+    max_rounds: int = 25,
+    driver_max_edges: int = CC_DRIVER_MAX_EDGES,
+) -> DataFrame:
     """Connected components by min-label propagation + pointer jumping over
     an undirected pair set: returns (node, lbl) where lbl = min node id in
-    the component. Each round propagates neighbor labels one hop, then
-    shortcuts every label to its label's label — O(log diameter) rounds, so
-    max_rounds=25 covers astronomically long chains. Raises (never returns
-    silently-wrong labels) if the fixpoint is not reached. Property-tested
-    against a pure-Python BFS reference, including a 40-node chain."""
+    the component.
+
+    Hybrid execution: the candidate edge set is counted first (on its
+    localCheckpoint, so the upstream similarity join runs once); at or below
+    ``driver_max_edges`` it resolves by driver-side union-find — a near-dup
+    graph that fits in one task's memory should not pay one Spark job per
+    label-propagation round. Above the bound, the distributed loop runs:
+    each round propagates neighbor labels one hop, then shortcuts every
+    label to its label's label (pointer jumping — O(log diameter) rounds, so
+    max_rounds=25 covers astronomically long chains), with the convergence
+    count fused into the checkpoint materialization via ``Observation`` (one
+    job per round, not two). Raises (never returns silently-wrong labels) if
+    the fixpoint is not reached. Both paths are property-tested against a
+    pure-Python BFS reference, including a 40-node chain."""
+    from pyspark.sql import Observation
+
+    spark = pairs.sparkSession
     edges = pairs.union(
         pairs.select(pairs.columns[1], pairs.columns[0])
     ).toDF("src", "dst")
     edges = edges.localCheckpoint()  # the edge set is reused every round
+    if edges.count() <= driver_max_edges:
+        rows = _uf_min_label([(r["src"], r["dst"]) for r in edges.collect()])
+        return spark.createDataFrame(rows, "node long, lbl long")
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -562,13 +618,25 @@ def _cc_min_label(pairs: DataFrame, max_rounds: int = 25) -> DataFrame:
         new = new.join(ref, "lbl", "left").select(
             "node", F.coalesce("lbl2", "lbl").alias("lbl")
         )
-        new = new.localCheckpoint()
-        changed = (
-            new.withColumnRenamed("lbl", "new_lbl")
-            .join(labels, "node")
-            .filter(F.col("new_lbl") != F.col("lbl"))
-            .count()
+        # fuse the convergence count into the SAME job that materializes the
+        # round's labels: join the old labels back in, observe the number of
+        # changed rows during the localCheckpoint, and read the metric —
+        # one Spark job per round instead of checkpoint + count
+        obs = Observation()
+        merged = (
+            new.join(labels.withColumnRenamed("lbl", "old_lbl"), "node", "left")
+            .observe(
+                obs,
+                F.sum(
+                    F.when(
+                        F.col("old_lbl").isNull() | (F.col("lbl") != F.col("old_lbl")), 1
+                    ).otherwise(0)
+                ).alias("changed"),
+            )
+            .select("node", "lbl")
         )
+        new = merged.localCheckpoint()
+        changed = obs.get["changed"]
         labels = new
         if changed == 0:
             return labels

@@ -340,9 +340,10 @@ def test_or_lsh_pair_recall(spark):
 
 
 def test_cc_min_label_matches_bfs_on_random_graphs(spark):
-    """Property: the distributed min-label loop equals a pure-Python BFS
-    connected-components reference on seeded random graphs (including
-    multi-component, cyclic, and chain-heavy shapes)."""
+    """Property: BOTH _cc_min_label paths (driver union-find at default
+    bound; distributed loop forced with driver_max_edges=0) equal a
+    pure-Python BFS connected-components reference on seeded random graphs
+    (including multi-component, cyclic, and chain-heavy shapes)."""
     import random
 
     from ocrautomator_spark.queries.pipeline_ops import _cc_min_label
@@ -384,8 +385,10 @@ def test_cc_min_label_matches_bfs_on_random_graphs(spark):
                 expected[u] = m
 
         pairs = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
-        got = {r["node"]: r["lbl"] for r in _cc_min_label(pairs).collect()}
-        assert got == expected, f"seed {seed}: CC mismatch"
+        for max_edges in (None, 0):  # driver union-find / forced distributed
+            kw = {} if max_edges is None else {"driver_max_edges": max_edges}
+            got = {r["node"]: r["lbl"] for r in _cc_min_label(pairs, **kw).collect()}
+            assert got == expected, f"seed {seed}, driver_max_edges={max_edges}: CC mismatch"
 
 
 def test_simhash_hot_bucket_star_on_degenerate_corpus(spark):
@@ -494,13 +497,15 @@ def test_cc_mega_cluster_degenerate(spark):
     pairs = [(300 + 2 * i, 301 + 2 * i) for i in range(20)]
     edges = star + chain + pairs
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
-    got = {r["node"]: r["lbl"] for r in _cc_min_label(df).collect()}
     expected = {i: 0 for i in range(250)}
     expected.update({i: 250 for i in range(250, 290)})
     for i in range(20):
         expected[300 + 2 * i] = 300 + 2 * i
         expected[301 + 2 * i] = 300 + 2 * i
-    assert got == expected
+    for max_edges in (None, 0):  # driver union-find / forced distributed
+        kw = {} if max_edges is None else {"driver_max_edges": max_edges}
+        got = {r["node"]: r["lbl"] for r in _cc_min_label(df, **kw).collect()}
+        assert got == expected, f"driver_max_edges={max_edges}"
 
 
 def test_ann_probe_cost_observability(spark):
