@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from ocrautomator_spark.queries.common import T
 
@@ -594,7 +595,13 @@ def _cc_min_label(
     edges = edges.localCheckpoint()  # the edge set is reused every round
     if edges.count() <= driver_max_edges:
         rows = _uf_min_label([(r["src"], r["dst"]) for r in edges.collect()])
-        return spark.createDataFrame(rows, "node long, lbl long")
+        # schema mirrors the distributed path: node/lbl typed as the input
+        # id column, so the fast path is not a scale-dependent type change
+        id_type = edges.schema["src"].dataType
+        out_schema = StructType(
+            [StructField("node", id_type, True), StructField("lbl", id_type, True)]
+        )
+        return spark.createDataFrame(rows, out_schema)
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -1521,8 +1528,8 @@ def pack_contiguous_bins(spark: SparkSession, sf: str) -> DataFrame:
     # encoding, Arrow transfer, per-row decode, schema — is SQL-expressible
     # and hash-gated (md5 of the utf-8 payload is identical in both engines)
     """
-    WITH h AS (SELECT doc_id, md5(text) AS h,
-                      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS h,
+                      CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes
                FROM documents)
     SELECT doc_id, n_bytes,
            CAST(64 + CAST('0x' || substring(h, 1, 4) AS INT) % 1984 AS INT) AS width,
@@ -1565,7 +1572,7 @@ def mm_image_features(spark: SparkSession, sf: str) -> DataFrame:
 
     # synthesize the binary column deterministically from the text payload
     d = T(spark, sf, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("image")
+        "doc_id", F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("image")
     )
     return d.mapInPandas(
         extract, "doc_id long, n_bytes long, width int, height int, phash string"
@@ -1575,8 +1582,8 @@ def mm_image_features(spark: SparkSession, sf: str) -> DataFrame:
 @q(
     "mm_audio_features",
     """
-    WITH h AS (SELECT doc_id, md5(text) AS h,
-                      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS h,
+                      CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes
                FROM documents),
     x AS (SELECT doc_id, h, n_bytes,
                  CAST(1000 + CAST('0x' || substring(h, 1, 5) AS BIGINT) % 600000 AS BIGINT) AS duration_ms
@@ -1607,7 +1614,7 @@ def mm_audio_features(spark: SparkSession, sf: str) -> DataFrame:
                 }
             )
 
-    d = T(spark, sf, "documents").select("doc_id", F.encode("text", "utf-8").alias("audio"))
+    d = T(spark, sf, "documents").select("doc_id", F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("audio"))
     return d.mapInPandas(extract, "doc_id long, n_bytes long, duration_ms long, n_samples long, rms double")
 
 
@@ -1616,7 +1623,7 @@ def mm_audio_features(spark: SparkSession, sf: str) -> DataFrame:
     # chr(i) for i <= 6 utf-8-encodes to the single byte i, so
     # md5(text || chr(i)) equals the stub's md5(payload + bytes([i]))
     """
-    WITH h AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+    WITH h AS (SELECT doc_id, coalesce(text, '') AS text, md5(coalesce(text, '')) AS h FROM documents),
     n AS (SELECT doc_id, text,
                  2 + CAST('0x' || substring(h, 1, 2) AS INT) % 6 AS n_frames
           FROM h)
@@ -1654,5 +1661,5 @@ def mm_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
                 }
             )
 
-    d = T(spark, sf, "documents").select("doc_id", F.encode("text", "utf-8").alias("video"))
+    d = T(spark, sf, "documents").select("doc_id", F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("video"))
     return d.mapInPandas(sample_frames, "doc_id long, frame_idx int, ts_ms long, frame_hash string")

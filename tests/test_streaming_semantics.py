@@ -121,7 +121,7 @@ def test_stateful_sessionize_continues_sessions_across_microbatches(spark, tmp_p
         .option("maxFilesPerTrigger", 1)
         .parquet(str(indir))
     )
-    streamed = stateful_sessionize(spark, SF_DIR, stream=stream)
+    streamed = stateful_sessionize(spark, SF_DIR, gap_us=SESSION_GAP_US, stream=stream)
     batch = EQ["events_sessionize"](spark, SF_DIR)
     cols = sorted(batch.columns)
     s = sorted(tuple(r) for r in streamed.select(*cols).collect())
