@@ -369,3 +369,58 @@ def curation_term_df(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
         .select("term", "df", (F.col("df").cast("double") / F.col("total")).alias("doc_frac"))
     )
+
+
+# -------------------------------------------------------------- PII scrub
+
+# Conservative, engine-portable patterns: character classes + greedy
+# quantifiers only (no lookaround, no backreferences), so Java regex
+# (Spark), RE2 (DuckDB), and Python `re` all produce identical match
+# extents. The corpus has no natural PII, so each doc gets deterministic
+# planted contact info (from its own source/doc_id) — the scrub paths are
+# exercised by construction.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+@q(
+    "curation_pii_scrub",
+    f"""
+    WITH d AS (SELECT doc_id,
+                      coalesce(text, '') || ' contact ' || source ||
+                      '@example.com tel +1 (202) 555-01' ||
+                      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS dirty
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(dirty, '{PII_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(dirty, '{PII_PHONE_RE}')) AS INT) AS n_phones,
+           md5(regexp_replace(regexp_replace(dirty, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                              '{PII_PHONE_RE}', '[PHONE]', 'g')) AS scrub_hash
+    FROM d
+    """,
+)
+def curation_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction (email + phone → typed placeholders) with per-doc
+    match counts and an md5 of the scrubbed text — the hash gates the FULL
+    redacted output byte-for-byte, not just the counts. DuckDB's
+    regexp_replace needs the 'g' flag to match Spark's replace-all.
+
+    Scale: a pure narrow map (two regexp_replace + two regexp_count per
+    row, all JVM-side) — zero shuffles; the same shape at any corpus size."""
+    docs = T(spark, sf, "documents")
+    dirty = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact "),
+        F.col("source"),
+        F.lit("@example.com tel +1 (202) 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(dirty, PII_EMAIL_RE, "[EMAIL]"), PII_PHONE_RE, "[PHONE]"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(dirty, F.lit(PII_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(dirty, F.lit(PII_PHONE_RE)).cast("int").alias("n_phones"),
+        F.md5(F.encode(scrub, "utf-8")).alias("scrub_hash"),
+    )

@@ -158,3 +158,32 @@ def test_term_df_hapax_dropped_and_fraction_exact(spark):
     total = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     for r in out[:20]:
         assert r["doc_frac"] == r["df"] / total
+
+
+def test_pii_scrub_is_narrow_and_redacts_all_planted(spark):
+    from ocrautomator_spark.queries.curation import PII_EMAIL_RE, PII_PHONE_RE
+
+    plan = _plan(CQ["curation_pii_scrub"](spark, SF_DIR))
+    assert "Exchange" not in plan, "PII scrub must be a pure narrow map"
+
+    rows = CQ["curation_pii_scrub"](spark, SF_DIR).collect()
+    assert rows
+    # the planting guarantees at least one of each per doc
+    assert all(r["n_emails"] >= 1 and r["n_phones"] >= 1 for r in rows)
+    # redaction completeness: re-scanning the scrubbed text finds nothing —
+    # verified via a spot recomputation of one doc through the same exprs
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(5)
+    dirty = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact "), F.col("source"),
+        F.lit("@example.com tel +1 (202) 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(dirty, PII_EMAIL_RE, "[EMAIL]"), PII_PHONE_RE, "[PHONE]"
+    )
+    leftover = docs.select(
+        (F.regexp_count(scrub, F.lit(PII_EMAIL_RE))
+         + F.regexp_count(scrub, F.lit(PII_PHONE_RE))).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    assert leftover == 0
