@@ -48,3 +48,42 @@ def test_plain_extraction_idempotent(paragraphs):
     second = extract_one(first.extracted_text)
     if second.payload_kind == "plain":
         assert second.extracted_text == first.extracted_text
+
+
+# ---- pure-Python union-find (the CC driver fast path) ----
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        max_size=60,
+    )
+)
+def test_uf_min_label_matches_bfs(edges):
+    """The driver fast path's union-find equals a BFS reference on arbitrary
+    edge lists: every node that appears gets the min node id of its
+    component (same contract the distributed loop is property-tested to)."""
+    from ocrautomator_spark.queries.pipeline_ops import _uf_min_label
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected: dict[int, int] = {}
+    seen: set[int] = set()
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        seen.add(start)
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for v in adj[u]:
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        m = min(comp)
+        for u in comp:
+            expected[u] = m
+    assert dict(_uf_min_label(edges)) == expected
