@@ -378,6 +378,99 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+SUBSTR_WIN = 64        # exact-substring window width (chars)
+SUBSTR_SEL_HEX = "0"   # keep windows whose md5 starts with this hex → 1/16 sample
+SUBSTR_MIN_SHARED = 2  # doc pairs must share ≥ this many sampled windows
+SUBSTR_PLANT_MOD = 5   # every 5th doc donates a passage to a planted twin
+SUBSTR_PLANT_OFF = 101  # 1-based start of the copied passage in the base doc
+SUBSTR_PLANT_LEN = 300
+_SUBSTR_MIN_BASE = SUBSTR_PLANT_OFF + SUBSTR_PLANT_LEN - 1
+
+
+@q(
+    "dedup_substring_windows",
+    f"""
+    WITH base AS (SELECT doc_id, lower(text) AS t FROM documents),
+    planted AS (SELECT -doc_id - 1 AS doc_id,
+                       'zqplant-head ' || substring(t, {SUBSTR_PLANT_OFF}, {SUBSTR_PLANT_LEN}) || ' zqplant-tail' AS t
+                FROM base WHERE doc_id % {SUBSTR_PLANT_MOD} = 0 AND length(t) >= {_SUBSTR_MIN_BASE}),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+    el AS (SELECT * FROM corpus WHERE length(t) >= {SUBSTR_WIN}),
+    w AS (SELECT DISTINCT doc_id, md5(substring(t, i, {SUBSTR_WIN})) AS h
+          FROM el, UNNEST(generate_series(1, length(t) - {SUBSTR_WIN - 1})) AS u(i)),
+    sel AS (SELECT doc_id, h FROM w WHERE substring(h, 1, 1) = '{SUBSTR_SEL_HEX}'),
+    keep AS (SELECT h FROM sel GROUP BY h HAVING COUNT(*) <= {MAX_DF}),
+    sk AS (SELECT sel.doc_id, sel.h FROM sel JOIN keep USING (h)),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_windows
+          FROM sk a JOIN sk b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_shared_windows FROM p
+    WHERE n_shared_windows >= {SUBSTR_MIN_SHARED}
+    """,
+)
+def dedup_substring_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring (window-level) dedup — catches a verbatim passage
+    embedded in otherwise-distinct documents, which doc-level exact dedup and
+    similarity dedup both miss (the ExactSubstr gap of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better").
+
+    Mechanism: every 64-char window at EVERY offset (stride 1) of the
+    lowercased text is md5-fingerprinted, and a window is kept iff its hash
+    starts with a fixed hex digit — content-defined 1/16 mod-sampling
+    (Manber/Broder fingerprint selection). Selection by hash value, not by
+    offset, is what makes the sketch SHIFT-INVARIANT: a copied passage
+    selects the same windows in both documents no matter where it lands, so
+    stride-aligned shingling's alignment blindness cannot occur. Pairs
+    sharing >= SUBSTR_MIN_SHARED sampled windows are reported with the
+    shared-window count (a passage of L chars shares ~(L-63)/16 sampled
+    windows in expectation).
+
+    Scale: the sample keeps ~1/16 of windows, so the shuffle moves
+    corpus_bytes/16 in fixed-width md5 keys; the stop-shingle DF guard
+    (MAX_DF) caps any bucket before the self-join — same discipline as
+    dedup_ngram_jaccard, never all-pairs. The corpus has ZERO natural
+    verbatim passages, so passages are planted deterministically (every 5th
+    long-enough doc donates chars 101-400 to a twin under a negative id) —
+    both the plant and the detector are mirrored exactly in the DuckDB
+    oracle, making this fully hash-gated."""
+    d = T(spark, sf, "documents").select("doc_id", F.lower("text").alias("t"))
+    plant = (
+        d.filter(
+            (F.col("doc_id") % SUBSTR_PLANT_MOD == 0)
+            & (F.length("t") >= _SUBSTR_MIN_BASE)
+        ).select(
+            (-F.col("doc_id") - 1).alias("doc_id"),
+            F.concat(
+                F.lit("zqplant-head "),
+                F.substring("t", SUBSTR_PLANT_OFF, SUBSTR_PLANT_LEN),
+                F.lit(" zqplant-tail"),
+            ).alias("t"),
+        )
+    )
+    corpus = d.unionAll(plant).filter(F.length("t") >= SUBSTR_WIN)
+    idx = F.sequence(F.lit(1), F.greatest(F.length("t") - (SUBSTR_WIN - 1), F.lit(1)))
+    wins = corpus.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.md5(F.col("t").substr(i, F.lit(SUBSTR_WIN))))
+        ).alias("h"),
+    )
+    sel = wins.filter(F.substring("h", 1, 1) == SUBSTR_SEL_HEX).distinct()
+    keep = (
+        sel.groupBy("h").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_DF)
+        .select("h")
+    )
+    sk = sel.join(keep, "h")
+    a, b = sk.alias("a"), sk.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_windows"))
+        .filter(F.col("n_shared_windows") >= SUBSTR_MIN_SHARED)
+    )
+
+
 COSINE_DUP_THRESHOLD = 0.98  # true near-dup territory — where LSH blocking works
 # planted duplicate ids live in the NEGATIVE id space (-vec_id - 1): disjoint
 # from any non-negative real id at any table size, unlike a fixed offset

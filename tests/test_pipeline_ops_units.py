@@ -619,3 +619,64 @@ def test_weighted_minhash_degenerate_corpus_star_guard(spark):
     pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
     assert pairs == {(0, j) for j in range(1, k)}
     assert all(r["est_weighted_jaccard"] == 1.0 for r in rows)
+
+
+def test_substring_windows_planted_recall(spark):
+    """Every deterministically planted passage twin is detected: the planted
+    doc (-id-1) copies 300 chars of its base doc, sharing ~237 stride-1
+    windows of which ~1/16 survive mod-sampling — expected ~15 shared
+    sampled windows, so >= SUBSTR_MIN_SHARED with overwhelming margin."""
+    from ocrautomator_spark.queries import pipeline_ops as po
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = po.QUERIES["dedup_substring_windows"](spark, sf_dir).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared_windows"] for r in rows}
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    eligible = [
+        int(i)
+        for i, t in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+        if i % po.SUBSTR_PLANT_MOD == 0 and len(t) >= po._SUBSTR_MIN_BASE
+    ]
+    assert len(eligible) >= 10, "plant set vacuously small — recalibrate"
+    found = [i for i in eligible if (-i - 1, i) in pairs]
+    recall = len(found) / len(eligible)
+    assert recall >= 0.9, f"planted-passage recall {recall} ({len(found)}/{len(eligible)})"
+    # shared-window counts are in the ballpark the sampling math predicts
+    assert all(pairs[(-i - 1, i)] >= po.SUBSTR_MIN_SHARED for i in found)
+
+
+def test_substring_windows_shift_invariance(spark):
+    """A verbatim passage is detected regardless of its OFFSET in each doc —
+    the property stride-aligned shingling lacks. Two handbuilt docs embed the
+    same 300-char passage at deliberately misaligned offsets (200 vs 97,
+    differing by a non-multiple of any stride)."""
+    import random
+
+    from ocrautomator_spark.queries import pipeline_ops as po
+
+    rnd = random.Random(41)
+
+    def blob(n):
+        return "".join(rnd.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(n))
+
+    passage = blob(300)
+    texts = {
+        11: blob(200) + passage + blob(50),
+        12: blob(97) + passage + blob(150),
+        13: blob(400),  # control: no shared passage
+    }
+    pdf = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    df = spark.createDataFrame(pdf)
+    orig = po.T
+    try:
+        po.T = lambda s, sf, name: df
+        rows = po.QUERIES["dedup_substring_windows"](spark, "unused").collect()
+    finally:
+        po.T = orig
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared_windows"] for r in rows}
+    assert (11, 12) in pairs, f"shifted verbatim passage missed: {pairs}"
+    assert pairs[(11, 12)] >= po.SUBSTR_MIN_SHARED
+    assert not any(13 in p for p in pairs), f"control doc spuriously paired: {pairs}"
