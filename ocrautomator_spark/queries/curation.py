@@ -424,3 +424,56 @@ def curation_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
         F.regexp_count(dirty, F.lit(PII_PHONE_RE)).cast("int").alias("n_phones"),
         F.md5(F.encode(scrub, "utf-8")).alias("scrub_hash"),
     )
+
+
+# ------------------------------------------------ deterministic shuffle
+
+SHUFFLE_SEED = "epoch0"   # changing the seed re-deals the whole corpus
+SHUFFLE_NSHARDS = 16
+
+
+@q(
+    "curation_shuffle_shards",
+    f"""
+    WITH h AS (SELECT doc_id,
+                      md5(CAST(doc_id AS VARCHAR) || '|{SHUFFLE_SEED}') AS hx
+               FROM documents),
+    s AS (SELECT doc_id, hx,
+                 CAST('0x' || substring(hx, 1, 2) AS INT) % {SHUFFLE_NSHARDS} AS shard
+          FROM h)
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS INT)
+             AS shard_pos
+    FROM s
+    """,
+)
+def curation_shuffle_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Global deterministic corpus shuffle for training-order randomization:
+    each document's position is derived from md5(doc_id || seed) — shard =
+    leading hash byte mod NSHARDS, within-shard order = the hash itself.
+    Reading shards round-robin replays one full epoch in a pseudo-random
+    order that is identical on every run/engine (no rand()); bumping
+    SHUFFLE_SEED re-deals the corpus for the next epoch. Complements
+    sample_stratified / mix_plan: those pick WHAT to train on, this fixes
+    the ORDER it is served in.
+
+    Scale: ONE shuffle on the shard key plus a within-shard sort — there is
+    deliberately no global ROW_NUMBER (a total order would serialize through
+    one partition); consumers that need a global position use
+    (shard, shard_pos) lexicographically, which is exactly how sharded
+    training data is striped across data-loader workers at 100 TB."""
+    from pyspark.sql.window import Window
+
+    h = T(spark, sf, "documents").select(
+        "doc_id",
+        F.md5(
+            F.encode(F.concat(F.col("doc_id").cast("string"), F.lit(f"|{SHUFFLE_SEED}")), "utf-8")
+        ).alias("hx"),
+    )
+    s = h.withColumn(
+        "shard", (F.conv(F.substring("hx", 1, 2), 16, 10).cast("int") % SHUFFLE_NSHARDS)
+    )
+    w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+    return s.select(
+        "doc_id", "shard", F.row_number().over(w).cast("int").alias("shard_pos")
+    )
