@@ -680,3 +680,35 @@ def test_substring_windows_shift_invariance(spark):
     assert (11, 12) in pairs, f"shifted verbatim passage missed: {pairs}"
     assert pairs[(11, 12)] >= po.SUBSTR_MIN_SHARED
     assert not any(13 in p for p in pairs), f"control doc spuriously paired: {pairs}"
+
+
+def test_pq_adc_planted_neighborhood_recall(spark):
+    """The regime PQ is built for: 10 planted vectors within 1% of the query
+    take (near-)identical codes, so their ADC distance is near the global
+    minimum and the exact re-rank returns them — recall ~1.0. (ADC is
+    L2-based, so the plant uses tiny perturbations, not the big colinear
+    scalings of the LSH tests — scale-invariance is a cosine property.)"""
+    from pyspark.sql import functions as F
+
+    from ocrautomator_spark.queries import pipeline_ops as po
+
+    sf = "/root/testdata/sf0.01"
+    base = po.T(spark, sf, "embeddings").select("vec_id", "embedding")
+    planted = base.filter(F.col("vec_id") == po.ANN_QUERY_ID).crossJoin(
+        spark.range(1, 11).select(
+            (F.col("id") + 1_000_000).alias("pid"),
+            (1.0 + F.col("id") / 1000.0).alias("scale"),
+        )
+    ).select(
+        F.col("pid").alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.col("scale")).cast("float")).alias("embedding"),
+    )
+    corpus = base.unionAll(planted)
+    orig = po.T
+    try:
+        po.T = lambda s, sfd, name: corpus
+        got = [r["vec_id"] for r in po.QUERIES["ann_pq_adc_topk"](spark, "unused").collect()]
+    finally:
+        po.T = orig
+    recall = len(set(got) & set(range(1_000_001, 1_000_011))) / 10
+    assert recall >= 0.9, f"planted-neighborhood recall {recall}: {got}"
