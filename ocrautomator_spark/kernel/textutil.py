@@ -66,7 +66,12 @@ def word_count(s: str) -> int:
 def stopword_ratio(s: str) -> float:
     """Function-word density: word-level over the multi-language union, plus a
     char-level path over CJK codepoints (no word boundaries there). The max of
-    the two — a mixed-script block gets whichever signal its prose carries."""
+    the two — a mixed-script block gets whichever signal its prose carries.
+
+    NOTE: the CJK path divides by CJK_PROSE_NORM, so the return value can
+    exceed 1.0 (up to ~1/CJK_PROSE_NORM) for heavily function-word CJK text —
+    it is a prose-likelihood SCORE compared against thresholds, not a true
+    [0,1] ratio. Callers must not assume an upper bound of 1."""
     words = [w.strip(".,;:!?()[]\"'").lower() for w in s.split()]
     words = [w for w in words if w]
     ratio = sum(1 for w in words if w in STOPWORDS) / len(words) if words else 0.0

@@ -204,6 +204,15 @@ def search_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     integer evidence (terms matched, total tf) — never the raw score, whose
     ln() is engine-rounding-dependent.
 
+    Residual cross-engine risk (documented per r3 ADVICE): the rank itself
+    is still derived from the ln()-based double score, so two documents with
+    distinct but 1-ulp-close scores could in principle order differently
+    between Spark's Math.log and DuckDB's ln at an untested scale factor,
+    flipping adjacent ranks near the LIMIT boundary. Ties with IDENTICAL
+    (tf, dl) are safe (bit-identical expression within each engine, doc_id
+    tiebreak), parity is pinned at the gate SF, and the integer evidence
+    columns bound any such flip's blast radius to adjacent ranks.
+
     Scale: per-term tf is an array HOF on the already-split words — a pure
     narrow map, NO posting-list explode and NO (doc, term) shuffle. Corpus
     stats (N, avgdl, per-term df) reduce to ONE broadcast row, scoring is a

@@ -1212,6 +1212,13 @@ def _kmeanspp_seed_cents(
                 / 2**64
             )
             idx = min(int(np.searchsorted(np.cumsum(w) / tot, u, side="right")), len(X) - 1)
+            if w[idx] == 0.0:
+                # the uniform can land exactly on a zero-weight cumsum
+                # boundary (an already-chosen or duplicate point) — advance
+                # to the next positive-weight index so no centroid is ever
+                # duplicated under a distinct cid (w>0 exists since tot>0)
+                later = np.flatnonzero(w[idx:] > 0.0)
+                idx = idx + int(later[0]) if len(later) else int(np.flatnonzero(w > 0.0)[0])
         chosen.append(idx)
         d = np.minimum(d, np.clip(1.0 - Xn @ Xn[idx], 0.0, None))
     rows = [(cid, [float(x) for x in X[i]]) for cid, i in enumerate(chosen)]

@@ -211,7 +211,12 @@ def stateful_sessionize(
     complete session. Cross-batch continuation is handled by the carried
     state; the file source delivers one deterministic batch here, and a real
     deployment accepting out-of-order arrivals would front this with a
-    watermarked sort or use session windows instead."""
+    watermarked sort or use session windows instead.
+
+    API boundary contract: batches must arrive per-user time-ordered across
+    microbatches (true for the file source's ascending file names). Events
+    that violate it (t < the carried state's last_t) are DROPPED, not
+    silently folded into the open session."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import IntegerType
@@ -241,6 +246,16 @@ def stateful_sessionize(
         pdf = pdf.sort_values(["t", "event_id"])
         if state.exists:
             last_t, sess, start, n = state.get
+            # Boundary contract: the source must deliver per-user batches in
+            # event-time order (the file source guarantees it via ascending
+            # file names/mtimes). An event OLDER than the carried state would
+            # otherwise silently extend or corrupt the open session — drop it
+            # instead, the stateful analogue of a watermark discarding late
+            # data. Never fires on an order-conforming source, so batch-
+            # oracle parity is untouched.
+            pdf = pdf[pdf["t"] >= last_t]
+            if pdf.empty:
+                return
         else:
             last_t, sess, start, n = 0, 0, 0, 0
         out = []

@@ -125,3 +125,22 @@ def test_dpp_query_entry_plan_prunes(spark):
 
     plan = _plan(SQ["join_dpp_partitioned"](spark, SF_DIR))
     assert "dynamicpruning" in plan.lower(), "dynamic partition pruning not planned"
+
+
+def test_agg_approx_within_error_bound(spark):
+    """agg_approx is the one gate key without a value oracle (HLL sketches
+    have no DuckDB twin) — pin its accuracy instead: per event_type,
+    |approx - exact| <= 5 * rsd * exact at the driver's gate scale. HLL++'s
+    rsd=0.02 is a standard-deviation bound, so 5 sigma is conservatively
+    loose while still catching any real regression (a broken sketch is off
+    by orders of magnitude, not percent)."""
+    from ocrautomator_spark.queries.relational import QUERIES as RQ
+
+    sf = "/root/testdata/sf0.01"
+    approx = {r["event_type"]: r["approx_users"] for r in RQ["agg_approx"](spark, sf).collect()}
+    exact = {r["event_type"]: r["n_users"] for r in RQ["agg_distinct"](spark, sf).collect()}
+    assert set(approx) == set(exact)
+    for et, ex in exact.items():
+        assert abs(approx[et] - ex) <= 5 * 0.02 * ex, (
+            f"{et}: approx {approx[et]} vs exact {ex} outside 5*rsd bound"
+        )

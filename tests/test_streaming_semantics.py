@@ -127,3 +127,50 @@ def test_stateful_sessionize_continues_sessions_across_microbatches(spark, tmp_p
     s = sorted(tuple(r) for r in streamed.select(*cols).collect())
     b = sorted(tuple(r) for r in batch.select(*cols).collect())
     assert s == b
+
+
+def test_stateful_sessionize_drops_cross_batch_late_events(spark, tmp_path):
+    """API-boundary guard: an event that arrives in a LATER microbatch with
+    an event time before the carried state's last_t is dropped (watermark
+    semantics), not silently folded into the open session. File 1 carries
+    t=1s,2s; file 2 carries t=1.5s (late) and 3s — the open session must
+    count 3 events, not 4."""
+    import datetime
+    import os
+    import time as _time
+
+    import duckdb
+
+    from ocrautomator_spark.streaming.jobs import EVENTS_SCHEMA, stateful_sessionize
+    from tests.conftest import SF_DIR
+
+    con = duckdb.connect()
+    indir = tmp_path / "in"
+    indir.mkdir()
+    batches = [[1_000_000, 2_000_000], [1_500_000, 3_000_000]]
+    for i, ts_list in enumerate(batches):
+        vals = ", ".join(
+            f"({i * 10 + j}, make_timestamp({t}), 7, 'click', 1.0, '{{}}')"
+            for j, t in enumerate(ts_list)
+        )
+        con.execute(
+            f"COPY (SELECT * FROM (VALUES {vals}) "
+            "v(event_id, ts, user_id, event_type, value, props)) "
+            f"TO '{indir}/{i:03d}.parquet' (FORMAT PARQUET)"
+        )
+        os.utime(indir / f"{i:03d}.parquet", (1000000 + i * 100, 1000000 + i * 100))
+        _time.sleep(0.05)
+    _ = datetime
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+    )
+    out = stateful_sessionize(spark, SF_DIR, gap_us=8 * 3600 * 1_000_000, stream=stream)
+    rows = {(r["user_id"], r["session_idx"]): r for r in out.collect()}
+    assert set(rows) == {(7, 1)}, f"unexpected sessions: {rows}"
+    r = rows[(7, 1)]
+    assert r["n_events"] == 3, f"late event folded in: n_events={r['n_events']}"
+    assert r["session_start_us"] == 1_000_000
+    assert r["session_end_us"] == 3_000_000
