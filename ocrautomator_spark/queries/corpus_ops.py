@@ -319,3 +319,70 @@ def diag_key_skew(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("n_rows") * F.lit(16.0) / F.col("total")).cast("double").alias("balance_ratio"),
         )
     )
+
+
+# ------------------------------------------- manifest compaction lifecycle
+
+LIFECYCLE_NBUCKETS = 4
+LIFECYCLE_FILES_PER_BUCKET = 8
+
+
+@q(
+    "lifecycle_compact_stats",
+    f"""
+    WITH b AS (SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS INT)
+                        % {LIFECYCLE_NBUCKETS} AS bucket
+               FROM documents)
+    SELECT bucket, COUNT(*) AS n_rows,
+           {LIFECYCLE_FILES_PER_BUCKET} AS files_before, 1 AS files_after
+    FROM b GROUP BY bucket
+    """,
+)
+def lifecycle_compact_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-file compaction + orphan GC over the manifest store — the
+    maintenance pass every long-lived 100 TB table needs (Iceberg's
+    rewrite_data_files + remove_orphan_files; the ParquetManifestIO methods
+    document the exact cluster calls). The entry runs the FULL lifecycle
+    against a scratch store: ingest documents as LIFECYCLE_NBUCKETS chunks
+    of LIFECYCLE_FILES_PER_BUCKET small files each, plant one uncommitted
+    orphan directory (a crashed run's leftovers), compact every bucket to a
+    single file via the atomic generation-swap protocol, GC the orphans,
+    and report per-bucket stats READ BACK FROM THE COMPACTED STORE — so the
+    oracle's row counts gate data integrity through the entire
+    write → compact → swap → GC → read cycle, not just bookkeeping.
+
+    Scale: compaction is per-bucket (one job per chunk, the retryable unit),
+    coalesce not repartition (no shuffle — file-merge only), and GC is a
+    manifest-set difference, O(#directories)."""
+    import tempfile
+
+    from ocrautomator_spark.spark.tableio import ParquetManifestIO
+
+    io = ParquetManifestIO(tempfile.mkdtemp(prefix="ocras_lifecycle_"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")), 1, 1), 16, 10)
+        .cast("int") % LIFECYCLE_NBUCKETS
+    )
+    docs = T(spark, sf, "documents").select("doc_id", bucket.alias("bucket"))
+    for b in range(LIFECYCLE_NBUCKETS):
+        io.write_bucket(
+            docs.filter(F.col("bucket") == b).repartition(LIFECYCLE_FILES_PER_BUCKET),
+            b,
+            "lifecycle-ingest",
+        )
+    # a crashed run's uncommitted chunk: data, no manifest
+    io.write_bucket_data(docs.limit(10), 99)
+    manifests = [
+        io.compact_bucket(spark, b, "lifecycle-compact")
+        for b in range(LIFECYCLE_NBUCKETS)
+    ]
+    removed = io.gc_orphans()
+    # the orphan AND the four pre-compaction generations must be gone
+    assert any("bucket=00099" in p for p in removed), removed
+    assert len(removed) == LIFECYCLE_NBUCKETS + 1, removed
+    data = io.read(spark).groupBy("bucket").agg(F.count("*").alias("n_rows"))
+    mdf = spark.createDataFrame(
+        [(m["bucket"], m["files_before"], m["files_after"]) for m in manifests],
+        "bucket int, files_before int, files_after int",
+    )
+    return data.join(F.broadcast(mdf), "bucket")

@@ -77,8 +77,10 @@ class ParquetManifestIO:
         self.commit_bucket(bucket, run_id, stats)
 
     def read(self, spark: SparkSession) -> DataFrame:
-        committed = sorted(self.committed_buckets())
-        paths = [str(self.data_dir / f"bucket={b:05d}") for b in committed]
+        # paths come from the MANIFESTS (not reconstructed from bucket ids):
+        # compaction redirects a bucket to its new-generation directory by
+        # atomically swapping the manifest, and readers must follow it
+        paths = [m["path"] for m in self.manifests()]
         if not paths:
             raise FileNotFoundError(f"no committed buckets under {self.root}")
         return spark.read.parquet(*paths)
@@ -88,6 +90,62 @@ class ParquetManifestIO:
             (json.loads(p.read_text()) for p in self.manifest_dir.glob("bucket-*.json")),
             key=lambda m: m["bucket"],
         )
+
+    # -- maintenance: small-file compaction + orphan GC (the Iceberg
+    # rewrite_data_files / expire_snapshots + remove_orphan_files pair) --
+    def compact_bucket(
+        self, spark: SparkSession, bucket: int, run_id: str, target_files: int = 1
+    ) -> dict[str, Any]:
+        """Rewrite one committed bucket's many small files as ``target_files``
+        files. Same commit protocol as ingest: the compacted data lands in a
+        NEW generation directory, then the manifest swaps to it atomically —
+        a crash at any point leaves either the old or the new generation
+        committed, never a mix, and the loser is an orphan for ``gc_orphans``.
+        Row counts ride the same write via ``Observation`` (no extra job)."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        m = self.bucket_manifest(bucket)
+        if m is None:
+            raise FileNotFoundError(f"bucket {bucket} has no committed manifest")
+        old_path = pathlib.Path(m["path"])
+        files_before = len(list(old_path.glob("*.parquet")))
+        gen = int(m.get("gen", 0)) + 1
+        new_path = self.data_dir / f"bucket={bucket:05d}.g{gen}"
+        obs = Observation(f"compact_{run_id}_b{bucket}")
+        df = spark.read.parquet(str(old_path)).observe(obs, F.count(F.lit(1)).alias("rows"))
+        df.coalesce(target_files).write.mode("overwrite").parquet(str(new_path))
+        manifest = {
+            **m,
+            "path": str(new_path),
+            "gen": gen,
+            "run_id": run_id,
+            "compacted_at": time.time(),
+            "files_before": files_before,
+            "files_after": len(list(new_path.glob("*.parquet"))),
+            "rows": int(obs.get["rows"]),
+        }
+        final = self.manifest_dir / f"bucket-{bucket:05d}.json"
+        tmp = final.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(manifest, indent=1))
+        os.replace(tmp, final)  # readers atomically switch generations here
+        return manifest
+
+    def gc_orphans(self) -> list[str]:
+        """Remove data directories referenced by NO manifest: uncommitted
+        chunk writes from crashed runs and pre-compaction generations whose
+        manifest has moved on. Safe by the commit protocol — anything a
+        reader could see is always manifest-referenced. Returns the removed
+        paths (the audit trail a production job logs)."""
+        import shutil
+
+        referenced = {m["path"] for m in self.manifests()}
+        removed = []
+        for d in sorted(self.data_dir.glob("bucket=*")):
+            if str(d) not in referenced:
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(str(d))
+        return removed
 
 
 class IcebergIO:
@@ -115,4 +173,13 @@ class IcebergIO:
         raise NotImplementedError
 
     def read(self, spark: SparkSession) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError
+
+    def compact_bucket(self, spark, bucket, run_id, target_files=1):  # pragma: no cover - cluster only
+        # CALL system.rewrite_data_files(table => t, where => 'bucket = b')
+        raise NotImplementedError
+
+    def gc_orphans(self):  # pragma: no cover - cluster only
+        # CALL system.expire_snapshots(table => t, older_than => ...);
+        # CALL system.remove_orphan_files(table => t)
         raise NotImplementedError

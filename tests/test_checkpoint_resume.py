@@ -85,3 +85,34 @@ def test_concurrent_chunks_equal_serial(spark, tmp_path):
     assert len(manifests) == 4
     assert _sorted_rows(conc_io.read(spark)) == _sorted_rows(serial_io.read(spark))
     assert sum(int(m["rows"]) for m in manifests) == inp.count()
+
+
+def test_compaction_preserves_data_and_resume(spark, tmp_path):
+    """Full maintenance cycle: ingest chunked output, compact every bucket
+    to one file (atomic generation swap), GC the superseded generations —
+    data must be byte-equal before/after, file counts must actually drop,
+    and a resumed run must still see every bucket committed (no recompute
+    after maintenance)."""
+    import pathlib
+
+    io = ParquetManifestIO(str(tmp_path / "store"))
+    df = synth_transcripts_df(spark, 40, n_partitions=8)
+    run_pipeline(df, io, n_buckets=4, run_id="r1")
+    before = _sorted_rows(io.read(spark))
+    files_before = {
+        m["bucket"]: len(list(pathlib.Path(m["path"]).glob("*.parquet")))
+        for m in io.manifests()
+    }
+    assert all(n > 1 for n in files_before.values()), files_before
+
+    manifests = [io.compact_bucket(spark, b, "rc") for b in range(4)]
+    removed = io.gc_orphans()
+    assert len(removed) == 4, removed  # the four pre-compaction generations
+    assert all(m["files_after"] == 1 for m in manifests)
+    assert all(m["files_before"] == files_before[m["bucket"]] for m in manifests)
+    assert _sorted_rows(io.read(spark)) == before
+
+    # resume after maintenance: nothing recomputes
+    again = run_pipeline(df, io, n_buckets=4, run_id="r2")
+    assert again == []
+    assert _sorted_rows(io.read(spark)) == before
