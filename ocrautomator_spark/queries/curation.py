@@ -477,3 +477,73 @@ def curation_shuffle_shards(spark: SparkSession, sf: str) -> DataFrame:
     return s.select(
         "doc_id", "shard", F.row_number().over(w).cast("int").alias("shard_pos")
     )
+
+
+# ------------------------------------------- target-ratio importance weights
+
+IW_TARGET_LANG = "en"  # the "high-quality target distribution" stand-in
+
+
+@q(
+    "curation_importance_weights",
+    f"""
+    WITH w AS (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS term
+               FROM documents),
+    tf AS (SELECT doc_id, lang, term, COUNT(*) AS tf FROM w GROUP BY 1, 2, 3),
+    raw AS (SELECT term, SUM(tf) AS cr FROM tf GROUP BY term),
+    tgt AS (SELECT term, SUM(tf) AS ct FROM tf WHERE lang = '{IW_TARGET_LANG}'
+            GROUP BY term),
+    j AS (SELECT tf.doc_id, tf.lang, tf.term,
+                 CAST(tf.tf * COALESCE(tgt.ct, 0) AS DOUBLE) / raw.cr AS contrib
+          FROM tf JOIN raw USING (term) LEFT JOIN tgt USING (term))
+    SELECT doc_id, lang, COUNT(*) AS n_terms,
+           list_sum(list(contrib ORDER BY term)) AS raw_score
+    FROM j GROUP BY doc_id, lang
+    """,
+)
+def curation_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-selection importance weighting (the DSIR shape, log-free
+    variant): each document scores Σ_t tf_d(t) · count_target(t) /
+    count_raw(t) against a target distribution (here the lang='en' slice) —
+    documents whose term mass concentrates where the target's does rank
+    highest, the signal used to importance-sample a raw crawl toward a
+    high-quality reference corpus. The log-free RATIO form (rather than
+    DSIR's log-likelihood ratio, which preserves ranking monotonicity per
+    term) is chosen deliberately: tf·ct is exact integer arithmetic and
+    IEEE division is correctly rounded in BOTH engines, so each term's
+    contribution is the bit-identical double in Spark and DuckDB, and the
+    per-doc sum is made order-independent by folding contributions in
+    SORTED term order (sort_array struct fold ≡ DuckDB list(... ORDER BY)
+    + list_sum) — the whole score is hash-gated exactly, no rank-only
+    hedging needed.
+
+    Scale: one (doc, term) tf aggregation (map-side combinable), two tiny
+    term-stat aggregations joined back on the term key, one final doc_id
+    reduce — the same shuffle budget as term_df; no driver-side state."""
+    d = T(spark, sf, "documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = d.groupBy("doc_id", "lang", "term").agg(F.count("*").alias("tf"))
+    raw = tf.groupBy("term").agg(F.sum("tf").alias("cr"))
+    tgt = (
+        tf.filter(F.col("lang") == IW_TARGET_LANG)
+        .groupBy("term")
+        .agg(F.sum("tf").alias("ct"))
+    )
+    contrib = (F.col("tf") * F.coalesce(F.col("ct"), F.lit(0))).cast("double") / F.col("cr")
+    j = (
+        tf.join(raw, "term")
+        .join(tgt, "term", "left")
+        .select("doc_id", "lang", "term", contrib.alias("contrib"))
+    )
+    folded = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("term", "contrib"))),
+            lambda r: r.getField("contrib"),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return j.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_terms"), folded.alias("raw_score")
+    )

@@ -387,15 +387,42 @@ SUBSTR_PLANT_LEN = 300
 _SUBSTR_MIN_BASE = SUBSTR_PLANT_OFF + SUBSTR_PLANT_LEN - 1
 
 
-@q(
-    "dedup_substring_windows",
-    f"""
-    WITH base AS (SELECT doc_id, lower(text) AS t FROM documents),
+# shared corpus+plant CTE prefix of both substring-dedup oracles
+_SUBSTR_EL_SQL = f"""
+    base AS (SELECT doc_id, lower(text) AS t FROM documents),
     planted AS (SELECT -doc_id - 1 AS doc_id,
                        'zqplant-head ' || substring(t, {SUBSTR_PLANT_OFF}, {SUBSTR_PLANT_LEN}) || ' zqplant-tail' AS t
                 FROM base WHERE doc_id % {SUBSTR_PLANT_MOD} = 0 AND length(t) >= {_SUBSTR_MIN_BASE}),
     corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
-    el AS (SELECT * FROM corpus WHERE length(t) >= {SUBSTR_WIN}),
+    el AS (SELECT * FROM corpus WHERE length(t) >= {SUBSTR_WIN})
+"""
+
+
+def _substring_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, t) of the lowercased corpus plus deterministically planted
+    passage twins, filtered to window-eligible lengths — the shared input of
+    both substring-dedup entries (mirrored by ``_SUBSTR_EL_SQL``)."""
+    d = T(spark, sf, "documents").select("doc_id", F.lower("text").alias("t"))
+    plant = (
+        d.filter(
+            (F.col("doc_id") % SUBSTR_PLANT_MOD == 0)
+            & (F.length("t") >= _SUBSTR_MIN_BASE)
+        ).select(
+            (-F.col("doc_id") - 1).alias("doc_id"),
+            F.concat(
+                F.lit("zqplant-head "),
+                F.substring("t", SUBSTR_PLANT_OFF, SUBSTR_PLANT_LEN),
+                F.lit(" zqplant-tail"),
+            ).alias("t"),
+        )
+    )
+    return d.unionAll(plant).filter(F.length("t") >= SUBSTR_WIN)
+
+
+@q(
+    "dedup_substring_windows",
+    f"""
+    WITH {_SUBSTR_EL_SQL},
     w AS (SELECT DISTINCT doc_id, md5(substring(t, i, {SUBSTR_WIN})) AS h
           FROM el, UNNEST(generate_series(1, length(t) - {SUBSTR_WIN - 1})) AS u(i)),
     sel AS (SELECT doc_id, h FROM w WHERE substring(h, 1, 1) = '{SUBSTR_SEL_HEX}'),
@@ -428,26 +455,19 @@ def dedup_substring_windows(spark: SparkSession, sf: str) -> DataFrame:
     Scale: the sample keeps ~1/16 of windows, so the shuffle moves
     corpus_bytes/16 in fixed-width md5 keys; the stop-shingle DF guard
     (MAX_DF) caps any bucket before the self-join — same discipline as
-    dedup_ngram_jaccard, never all-pairs. The corpus has ZERO natural
+    dedup_ngram_jaccard, never all-pairs. Honest compute note: hashing a
+    64-char window at every offset pushes ~64× the corpus bytes through
+    md5 in the scan stage (embarrassingly parallel, no shuffle, but real
+    CPU); a 100 TB deployment swaps the window fingerprint for a
+    Rabin-Karp ROLLING hash (O(1) per offset, mapInArrow) while keeping
+    this exact mod-sampling + bucket-join shape — md5 is used here because
+    it is the fingerprint both engines share, which is what makes the
+    operator hash-oracle-able. The corpus has ZERO natural
     verbatim passages, so passages are planted deterministically (every 5th
     long-enough doc donates chars 101-400 to a twin under a negative id) —
     both the plant and the detector are mirrored exactly in the DuckDB
     oracle, making this fully hash-gated."""
-    d = T(spark, sf, "documents").select("doc_id", F.lower("text").alias("t"))
-    plant = (
-        d.filter(
-            (F.col("doc_id") % SUBSTR_PLANT_MOD == 0)
-            & (F.length("t") >= _SUBSTR_MIN_BASE)
-        ).select(
-            (-F.col("doc_id") - 1).alias("doc_id"),
-            F.concat(
-                F.lit("zqplant-head "),
-                F.substring("t", SUBSTR_PLANT_OFF, SUBSTR_PLANT_LEN),
-                F.lit(" zqplant-tail"),
-            ).alias("t"),
-        )
-    )
-    corpus = d.unionAll(plant).filter(F.length("t") >= SUBSTR_WIN)
+    corpus = _substring_corpus(spark, sf)
     idx = F.sequence(F.lit(1), F.greatest(F.length("t") - (SUBSTR_WIN - 1), F.lit(1)))
     wins = corpus.select(
         "doc_id",
@@ -468,6 +488,74 @@ def dedup_substring_windows(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_shared_windows"))
         .filter(F.col("n_shared_windows") >= SUBSTR_MIN_SHARED)
+    )
+
+
+@q(
+    "dedup_substring_spans",
+    f"""
+    WITH {_SUBSTR_EL_SQL},
+    w AS (SELECT DISTINCT doc_id, i, md5(substring(t, i, {SUBSTR_WIN})) AS h
+          FROM el, UNNEST(generate_series(1, length(t) - {SUBSTR_WIN - 1})) AS u(i)),
+    sel AS (SELECT doc_id, i, h FROM w WHERE substring(h, 1, 1) = '{SUBSTR_SEL_HEX}'),
+    hs AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM sel GROUP BY h),
+    keep AS (SELECT h FROM hs WHERE nd >= 2 AND nd <= {MAX_DF}),
+    m AS (SELECT sel.doc_id, sel.i FROM sel JOIN keep USING (h))
+    SELECT doc_id, COUNT(*) AS n_dup_windows,
+           MIN(i) AS dup_start, MAX(i) + {SUBSTR_WIN - 1} AS dup_end
+    FROM m GROUP BY doc_id
+    HAVING COUNT(*) >= {SUBSTR_MIN_SHARED}
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document duplicated-span EXTENTS — the excision view of
+    exact-substring dedup: for every document whose sampled windows also
+    occur in at least one other document, report how many windows matched
+    and the [dup_start, dup_end] char range they cover (1-based, inclusive).
+    This is what a curation pipeline actually consumes to CUT a verbatim
+    passage out of an otherwise-unique document (the remove-the-span half
+    of Lee et al.'s ExactSubstr, where dedup_substring_windows is the
+    find-the-pairs half). Same shift-invariant mod-sampled fingerprints,
+    same planted passages, fully hash-oracled.
+
+    Scale: identical scan/sample/DF-guard shape as dedup_substring_windows,
+    but NO pair self-join at all — the per-window doc-frequency aggregate
+    doubles as the match detector, so the whole operator is two key-bounded
+    aggregations. Cheaper than the pair view at any corpus size."""
+    corpus = _substring_corpus(spark, sf)
+    idx = F.sequence(F.lit(1), F.greatest(F.length("t") - (SUBSTR_WIN - 1), F.lit(1)))
+    wins = (
+        corpus.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.md5(F.col("t").substr(i, F.lit(SUBSTR_WIN))).alias("h"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.col("w.i").alias("i"), F.col("w.h").alias("h"))
+        .distinct()
+    )
+    sel = wins.filter(F.substring("h", 1, 1) == SUBSTR_SEL_HEX)
+    keep = (
+        sel.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= MAX_DF))
+        .select("h")
+    )
+    return (
+        sel.join(keep, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_dup_windows"),
+            F.min("i").alias("dup_start"),
+            (F.max("i") + (SUBSTR_WIN - 1)).alias("dup_end"),
+        )
+        .filter(F.col("n_dup_windows") >= SUBSTR_MIN_SHARED)
     )
 
 

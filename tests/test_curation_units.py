@@ -187,3 +187,19 @@ def test_pii_scrub_is_narrow_and_redacts_all_planted(spark):
          + F.regexp_count(scrub, F.lit(PII_PHONE_RE))).alias("n")
     ).agg(F.sum("n")).collect()[0][0]
     assert leftover == 0
+
+
+def test_importance_weights_favor_target_lang(spark):
+    """Sanity on the signal (parity gates exactness; this gates MEANING):
+    documents in the target language must score higher on average than
+    non-target documents — their term mass sits where the target
+    distribution's does."""
+    from ocrautomator_spark.queries import curation as cu
+
+    rows = cu.QUERIES["curation_importance_weights"](spark, "/root/testdata/sf0.001").collect()
+    tgt = [r["raw_score"] / max(r["n_terms"], 1) for r in rows if r["lang"] == cu.IW_TARGET_LANG]
+    oth = [r["raw_score"] / max(r["n_terms"], 1) for r in rows if r["lang"] != cu.IW_TARGET_LANG]
+    assert tgt and oth
+    assert sum(tgt) / len(tgt) > sum(oth) / len(oth), (
+        f"target-lang mean {sum(tgt)/len(tgt)} not above other {sum(oth)/len(oth)}"
+    )

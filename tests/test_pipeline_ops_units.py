@@ -712,3 +712,28 @@ def test_pq_adc_planted_neighborhood_recall(spark):
         po.T = orig
     recall = len(set(got) & set(range(1_000_001, 1_000_011))) / 10
     assert recall >= 0.9, f"planted-neighborhood recall {recall}: {got}"
+
+
+def test_substring_spans_cover_planted_passage(spark):
+    """The excision view localizes the plant: a planted twin's duplicated
+    span must sit inside its copied region (the 300-char passage plus the
+    13-char head marker), and the matching base doc must report a span
+    inside [PLANT_OFF, PLANT_OFF+PLANT_LEN-1] (modulo one window width of
+    slack at each edge, since only sampled windows anchor the extent)."""
+    from ocrautomator_spark.queries import pipeline_ops as po
+
+    sf_dir = "/root/testdata/sf0.001"
+    spans = {r["doc_id"]: r for r in po.QUERIES["dedup_substring_spans"](spark, sf_dir).collect()}
+    planted = [d for d in spans if d < 0]
+    assert len(planted) >= 10, f"vacuous: only {len(planted)} planted docs localized"
+    head = len("zqplant-head ")
+    for pid in planted:
+        base_id = -pid - 1
+        r = spans[pid]
+        # the planted doc is head + passage + tail; duplicated windows can
+        # only live in the passage region
+        assert r["dup_start"] >= 1
+        assert r["dup_end"] <= head + po.SUBSTR_PLANT_LEN + po.SUBSTR_WIN
+        if base_id in spans:
+            b = spans[base_id]
+            assert b["dup_end"] >= po.SUBSTR_PLANT_OFF
