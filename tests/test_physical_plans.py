@@ -129,3 +129,36 @@ def test_conversation_family_reuses_one_exchange(spark):
         plan = _plan(CQ[name](spark, SF_DIR))
         n = plan.count("Arguments: hashpartitioning")
         assert n == 1, f"{name}: expected 1 hash exchange, saw {n}"
+
+
+def test_substring_dedup_plans_have_no_quadratic_join(spark):
+    """Both substring-dedup entries must candidate-generate through the
+    shingle-hash equi-join (pair view) or a pure aggregate (span view) —
+    never a cartesian/BNLJ; and the span view must contain NO join between
+    corpus-sized relations beyond the semi-join back to the kept hashes."""
+    for name in ("dedup_substring_windows", "dedup_substring_spans"):
+        plan = _plan(POQ[name](spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "Cartesian" not in plan, name
+
+
+def test_pq_adc_plan_shape(spark):
+    """PQ/ADC: exactly one broadcast cross-join (the 1-row query vector —
+    linear, sanctioned) and top-k via TakeOrderedAndProject, never a global
+    sort of the corpus."""
+    plan = _plan(POQ["ann_pq_adc_topk"](spark, SF_DIR))
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # cand + re-rank stages
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_shuffle_shards_single_exchange(spark):
+    """The deterministic corpus shuffle must cost exactly ONE exchange (the
+    shard key) — a global row_number would show a singlePartition exchange."""
+    from ocrautomator_spark.queries.curation import QUERIES as CQ
+
+    plan = _plan(CQ["curation_shuffle_shards"](spark, SF_DIR))
+    # "Exchange (" counts tree nodes once; the formatted detail section
+    # repeats the name without the node id
+    assert plan.count("Exchange (") == 1, plan[:600]
+    assert "SinglePartition" not in plan
