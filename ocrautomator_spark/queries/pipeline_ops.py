@@ -280,11 +280,52 @@ SIMHASH_MAX_HAMMING = 3
 SIMHASH_BANDS = 4  # hamming ≤ 3 ⇒ at least one of 4 16-bit bands identical
 
 
-@q("dedup_simhash")  # rows-only: bit-level simhash not sanely SQL-expressible
+def _simhash_sql() -> str:
+    """DuckDB twin of dedup_simhash: per-word hash = first 8 md5 bytes
+    big-endian (≡ the UDF's md5(w).digest()[:8]), bit votes as 64 CASE sums,
+    signature reassembled in the UBIGINT domain (band/XOR math is bit-equal
+    to the Spark side's logical shifts on int64), pairs by the EXACT
+    definition — all pairs at hamming ≤ SIMHASH_MAX_HAMMING. The Spark side
+    reaches the same set through the banded join: 4×16-bit banding is
+    lossless for hamming ≤ 3 (pigeonhole, unit-pinned) and the hot-bucket
+    star guard cannot drop pairs on this corpus (no 16-bit band bucket
+    exceeds MAX_BAND_BUCKET at gate scale — and if one ever did, this very
+    parity gate is what would fail loudly)."""
+    bit_votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(64)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS UBIGINT) ELSE CAST(0 AS UBIGINT) END)"
+        for j in range(64)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id,
+                        UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+                 FROM documents),
+    h AS (SELECT doc_id, CAST('0x' || substring(md5(w), 1, 16) AS UBIGINT) AS h FROM tok),
+    v AS (SELECT doc_id, {bit_votes} FROM h GROUP BY doc_id),
+    s AS (SELECT doc_id, ({sig_terms}) AS sig FROM v),
+    d AS (SELECT d.doc_id, COALESCE(s.sig, CAST(0 AS UBIGINT)) AS sig
+          FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+@q("dedup_simhash", _simhash_sql())
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup: 64-bit signature per doc (Arrow-batched pandas UDF,
     numpy bit-matrix — no per-row Python), then banded self-join so only
-    docs sharing a 16-bit band are compared; F.bit_count(xor) for hamming."""
+    docs sharing a 16-bit band are compared; F.bit_count(xor) for hamming.
+
+    Hash-oracled since round 4: the per-word hash is the first 8 bytes of
+    md5 (big-endian), which DuckDB reproduces exactly via hex-prefix cast —
+    so signature construction, banding losslessness, and the Hamming
+    threshold are all value-gated against the exact all-pairs definition
+    (see ``_simhash_sql`` for the contract's hot-bucket caveat)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
@@ -298,7 +339,7 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
                 continue
             hs = np.fromiter(
                 (
-                    int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+                    int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
                     for w in toks
                 ),
                 dtype=np.uint64,
