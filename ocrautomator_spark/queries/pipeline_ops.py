@@ -146,17 +146,60 @@ MINHASH_EST_THRESHOLD = 0.5
 MAX_BAND_BUCKET = 64
 
 
+MINHASH_P = (1 << 31) - 1  # Mersenne prime: (a·x + b) mod p stays < 2^62
+
+
+def _minhash_coeffs() -> list[tuple[int, int]]:
+    """Deterministic Carter-Wegman coefficients (a_s, b_s) for the K
+    permutations h_s(x) = (a_s·x + b_s) mod MINHASH_P — counter-hashed like
+    ``_hyperplanes``, so they inline into the DuckDB oracle as integer
+    literals. 31-bit arithmetic is deliberate: every product is < 2^62, so
+    ANSI-mode Spark longs and DuckDB BIGINTs compute it EXACTLY with no
+    overflow — what makes the whole minhash pipeline hash-oracle-able
+    (a 64-bit wrap-multiply family would throw under ANSI)."""
+    import hashlib
+
+    out = []
+    for s in range(MINHASH_K):
+        ha = int.from_bytes(hashlib.blake2b(f"mh-a|{s}".encode(), digest_size=8).digest(), "big")
+        hb = int.from_bytes(hashlib.blake2b(f"mh-b|{s}".encode(), digest_size=8).digest(), "big")
+        out.append((1 + ha % (MINHASH_P - 1), hb % MINHASH_P))
+    return out
+
+
+def _gram_base_hash(expr) -> "F.Column":
+    """32-bit md5-derived base value mod MINHASH_P (first 8 md5 hex chars ≡
+    DuckDB CAST('0x' || substring(md5(g),1,8) AS BIGINT))."""
+    return (
+        F.conv(F.substring(F.md5(F.encode(expr, "utf-8")), 1, 8), 16, 10).cast("long")
+        % MINHASH_P
+    )
+
+
+def _minhash_sig_aggs() -> list["F.Column"]:
+    """The K min-aggregates over the base-hash column ``x``."""
+    return [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"h{s}")
+        for s, (a, b) in enumerate(_minhash_coeffs())
+    ]
+
+
 def _minhash_band_candidates(sigs: DataFrame) -> DataFrame:
     """Shared LSH candidate stage over minhash signatures (doc_id, h0..hK-1):
-    band hashes → per-(band, bucket) self-join with the hot-bucket star guard
+    band keys → per-(band, bucket) self-join with the hot-bucket star guard
     (buckets over MAX_BAND_BUCKET switch to O(k) hub edges) → distinct
-    candidate pairs carrying both signatures (doc_a, doc_b, sa, sb)."""
+    candidate pairs carrying both signatures (doc_a, doc_b, sa, sb). The
+    band key is the rows' decimal rendering joined with '|' — equality
+    semantics identical to hashing it, oracle-expressible, and still a
+    short fixed-shape shuffle key (4×≤10 digits)."""
     sig_arr = F.array(*[f"h{s}" for s in range(MINHASH_K)])
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[f"h{b * LSH_ROWS + j}" for j in range(LSH_ROWS)]).alias("bh"),
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * LSH_ROWS + j}").cast("string") for j in range(LSH_ROWS)]
+                ).alias("bh"),
             )
             for b in range(LSH_BANDS)
         ]
@@ -221,16 +264,82 @@ def _sig_agreement() -> "F.Column":
     return agree.cast("double") / MINHASH_K
 
 
-@q("dedup_minhash_lsh")  # non-SQL-expressible (hash permutations) → rows-only
+def _minhash_oracle_sql(weighted: bool) -> str:
+    """DuckDB twin of the FULL minhash pipeline — signatures, banding,
+    hot-bucket star guard, candidate dedup, agreement threshold. The
+    Carter-Wegman coefficients inline as integer literals; every arithmetic
+    step is exact on both engines (31-bit mod-p, integer mins, dyadic
+    agreement fraction), so the approximate index's SEMANTICS are
+    value-gated, like the LSH/IVF/PQ oracles."""
+    coeffs = _minhash_coeffs()
+    p = MINHASH_P
+    sig_cols = ", ".join(
+        f"MIN(({a} * x + {b}) % {p}) AS h{s}" for s, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('|', "
+        + ", ".join(f"h{b * LSH_ROWS + j}" for j in range(LSH_ROWS))
+        + ") AS bh FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    agree = " + ".join(f"CASE WHEN sa.h{s} = sb.h{s} THEN 1 ELSE 0 END" for s in range(MINHASH_K))
+    if weighted:
+        x_cte = f"""
+    ge AS (SELECT doc_id, array_to_string(words[i:i+2], ' ') AS gram
+           FROM w, UNNEST(generate_series(1, greatest(len(words) - 2, 1))) AS t(i)),
+    gc AS (SELECT doc_id, gram, least(COUNT(*), {WMINHASH_MAX_W}) AS wcap
+           FROM ge GROUP BY doc_id, gram),
+    x AS (SELECT doc_id,
+                 CAST('0x' || substring(md5(gram || '|' || CAST(r AS VARCHAR)), 1, 8) AS BIGINT) % {p} AS x
+          FROM gc, UNNEST(generate_series(0, wcap - 1)) AS t(r))"""
+        out_col = "est_weighted_jaccard"
+    else:
+        x_cte = f"""
+    g AS (SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS gram
+          FROM w, UNNEST(generate_series(1, greatest(len(words) - 2, 1))) AS t(i)),
+    x AS (SELECT doc_id, CAST('0x' || substring(md5(gram), 1, 8) AS BIGINT) % {p} AS x
+          FROM g)"""
+        out_col = "est_jaccard"
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    {x_cte},
+    sig AS (SELECT doc_id, {sig_cols} FROM x GROUP BY doc_id),
+    bands AS ({band_selects}),
+    bs AS (SELECT band, bh, COUNT(*) AS n, MIN(doc_id) AS hub
+           FROM bands GROUP BY band, bh),
+    hot AS (SELECT band, bh, hub FROM bs WHERE n > {MAX_BAND_BUCKET}),
+    cold AS (SELECT bands.doc_id, bands.band, bands.bh FROM bands
+             LEFT JOIN hot USING (band, bh) WHERE hot.hub IS NULL),
+    cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM cold a JOIN cold b
+               ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+             UNION
+             SELECT hot.hub, bands.doc_id
+             FROM bands JOIN hot USING (band, bh) WHERE bands.doc_id <> hot.hub),
+    est AS (SELECT c.doc_a, c.doc_b, CAST(({agree}) AS DOUBLE) / {MINHASH_K} AS e
+            FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+                        JOIN sig sb ON sb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, e AS {out_col} FROM est WHERE e >= {MINHASH_EST_THRESHOLD}
+    """
+
+
+@q("dedup_minhash_lsh", _minhash_oracle_sql(weighted=False))
 def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup detection, the 100 TB-scale dedup path:
-    shingle → K min-hashes (K seeded xxhash64 permutations, computed in one
-    hash-agg) → band hashes → candidate pairs via band-bucket self-join →
-    signature-agreement estimate of Jaccard. All JVM-side, no Python."""
+    shingle → K min-hashes → band keys → candidate pairs via band-bucket
+    self-join → signature-agreement estimate of Jaccard. All JVM-side, no
+    Python.
+
+    Hash-oracled since round 4: permutations are Carter-Wegman
+    h_s(x) = (a_s·x + b_s) mod (2^31−1) over an md5-derived 32-bit base
+    value — exact integer arithmetic on both engines (no xxhash64, which
+    has no DuckDB twin; no 64-bit wrap-multiply, which ANSI mode forbids) —
+    so signatures, banding, the hot-bucket guard, and the agreement
+    threshold are all value-gated against ``_minhash_oracle_sql``.
+    Non-vacuous at gate scale: 25–28 natural near-dup pairs."""
     g = _word_ngrams(T(spark, sf, "documents").select("doc_id", "text"), 3)
-    sigs = g.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("gram", F.lit(s))).alias(f"h{s}") for s in range(MINHASH_K)]
-    )
+    x = g.select("doc_id", _gram_base_hash(F.col("gram")).alias("x"))
+    sigs = x.groupBy("doc_id").agg(*_minhash_sig_aggs())
     return (
         _minhash_band_candidates(sigs)
         .withColumn("est_jaccard", _sig_agreement())
@@ -242,7 +351,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 WMINHASH_MAX_W = 8  # replica cap: bounds the expansion a mega-repetitive doc can cause
 
 
-@q("dedup_minhash_weighted")  # hash permutations → rows-only (unit-pinned)
+@q("dedup_minhash_weighted", _minhash_oracle_sql(weighted=True))
 def dedup_minhash_weighted(spark: SparkSession, sf: str) -> DataFrame:
     """Frequency-WEIGHTED MinHash — the standard upgrade for boilerplate-heavy
     corpora where unweighted minhash over gram SETS calls two docs identical
@@ -253,9 +362,12 @@ def dedup_minhash_weighted(spark: SparkSession, sf: str) -> DataFrame:
     CWS for integer weights (capped at WMINHASH_MAX_W so a degenerate
     million-fold repetition cannot blow up the explode; counts beyond the cap
     carry no extra dedup signal). Shares the banded-LSH candidate stage and
-    hot-bucket star guard with dedup_minhash_lsh. Pinned by unit tests: docs
-    with identical gram sets but 10×-different counts are NOT paired (J_w ≈
-    0.14) while unweighted minhash estimates 1.0."""
+    hot-bucket star guard with dedup_minhash_lsh, and like it is hash-oracled
+    since round 4 (Carter-Wegman permutations over an md5 base on the
+    (gram, replica) pair — exact integer arithmetic on both engines).
+    Pinned by unit tests: docs with identical gram sets but 10×-different
+    counts are NOT paired (J_w ≈ 0.14) while unweighted minhash estimates
+    1.0."""
     g = T(spark, sf, "documents").select(
         "doc_id", F.explode(_gram_array(3)).alias("gram")
     )
@@ -265,9 +377,11 @@ def dedup_minhash_weighted(spark: SparkSession, sf: str) -> DataFrame:
     rep = gc.select(
         "doc_id", "gram", F.explode(F.sequence(F.lit(0), F.col("w") - 1)).alias("r")
     )
-    sigs = rep.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("gram", "r", F.lit(s))).alias(f"h{s}") for s in range(MINHASH_K)]
+    x = rep.select(
+        "doc_id",
+        _gram_base_hash(F.concat_ws("|", "gram", F.col("r").cast("string"))).alias("x"),
     )
+    sigs = x.groupBy("doc_id").agg(*_minhash_sig_aggs())
     return (
         _minhash_band_candidates(sigs)
         .withColumn("est_weighted_jaccard", _sig_agreement())
