@@ -81,9 +81,21 @@ def save_merges(merges: list[tuple[str, str]], path: pathlib.Path = _MERGES_FILE
     path.write_text("".join(f"{a}\t{b}\n" for a, b in merges), encoding="utf-8")
 
 
-def load_merges(path: pathlib.Path = _MERGES_FILE) -> list[tuple[str, str]]:
+def load_merges(path: pathlib.Path | None = None) -> list[tuple[str, str]]:
+    """Load the frozen table. Default path goes through importlib.resources,
+    which also works when the package ships as a spark-submit --py-files ZIP
+    (zipimport implements the resource-reader API; a bare __file__ join does
+    not resolve inside an archive)."""
+    if path is not None:
+        text = path.read_text(encoding="utf-8")
+    else:
+        from importlib.resources import files
+
+        text = files("ocrautomator_spark.kernel").joinpath("bpe_merges.txt").read_text(
+            encoding="utf-8"
+        )
     out = []
-    for line in path.read_text(encoding="utf-8").splitlines():
+    for line in text.splitlines():
         a, _, b = line.partition("\t")
         out.append((a, b))
     return out
