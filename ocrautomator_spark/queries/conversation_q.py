@@ -212,3 +212,57 @@ def conv_span_profile(spark: SparkSession, sf: str) -> DataFrame:
 
     ext = run_extract(documents_as_transcripts(spark, sf))
     return conv.span_kind_profile(ext)
+
+
+PACK_CONV_BUDGET_CHARS = 80  # per-chunk payload budget for boundary packing
+
+
+@q(
+    "conv_pack_chunks",
+    f"""
+    WITH t AS ({SQL_T}),
+    c AS (SELECT conv_id, turn_idx, length(text) AS n_chars,
+                 SUM(length(text)) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t)
+    SELECT conv_id, CAST(floor((cum - n_chars) / {PACK_CONV_BUDGET_CHARS}) AS BIGINT) AS chunk_idx,
+           COUNT(*) AS n_turns, CAST(SUM(n_chars) AS BIGINT) AS chunk_chars
+    FROM c GROUP BY conv_id, chunk_idx
+    """,
+)
+def conv_pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """BOUNDARY-respecting training-chunk packing: turns pack greedily into
+    chunks that never cross a conversation boundary — the packing mode used
+    when attention must not bleed between documents (vs pack_contiguous_bins,
+    which packs the whole corpus as one stream). Chunk assignment is the
+    same streaming approximation as the corpus packer (chunk = exclusive
+    running size ÷ budget, overflow by at most one turn's tail, split at
+    token boundaries downstream).
+
+    Scale: the window partitions by conv_id, so packing is embarrassingly
+    parallel per conversation and REUSES the conversation family's single
+    hashpartitioning(conv_id) exchange — no corpus-wide prefix sum is ever
+    needed when chunks can't cross conversations (that global case is what
+    pack_contiguous_bins' two-pass shard plan solves)."""
+    from pyspark.sql.window import Window
+
+    t = events_as_transcripts(spark, sf)
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.select("conv_id", "turn_idx", F.length("text").alias("n_chars")).withColumn(
+        "cum", F.sum("n_chars").over(w)
+    )
+    return (
+        c.withColumn(
+            "chunk_idx",
+            F.floor((F.col("cum") - F.col("n_chars")) / PACK_CONV_BUDGET_CHARS).cast("bigint"),
+        )
+        .groupBy("conv_id", "chunk_idx")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum("n_chars").cast("bigint").alias("chunk_chars"),
+        )
+    )
