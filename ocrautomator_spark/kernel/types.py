@@ -9,7 +9,7 @@ never mutates the source).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import NamedTuple
 
 # span kinds (normative, SURVEY.md §1.2)
@@ -55,4 +55,7 @@ class Block:
     n_link_chars: int = 0
     n_inline_tags: int = 0
     label: str = ""  # content | boilerplate | near (E6 intermediate)
-    parts: list[str] = field(default_factory=list)
+    # NOTE: no per-block scratch fields — this object is allocated once per
+    # candidate block in the kernel's hottest loop; a defaulted list field
+    # here costs one allocation per block (removed in r4, dead since the r2
+    # closure rewrite moved part accumulation into segment_html locals)
