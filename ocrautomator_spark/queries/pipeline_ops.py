@@ -553,10 +553,14 @@ _SUBSTR_EL_SQL = f"""
 """
 
 
-def _substring_corpus(spark: SparkSession, sf: str) -> DataFrame:
+def _substring_corpus(
+    spark: SparkSession, sf: str, eligible_only: bool = True
+) -> DataFrame:
     """(doc_id, t) of the lowercased corpus plus deterministically planted
-    passage twins, filtered to window-eligible lengths — the shared input of
-    both substring-dedup entries (mirrored by ``_SUBSTR_EL_SQL``)."""
+    passage twins — the shared input of the substring-dedup entries
+    (mirrored by ``_SUBSTR_EL_SQL``). ``eligible_only`` filters to
+    window-eligible lengths (the ``el`` CTE); the excise view keeps every
+    document (its oracle edits the full ``corpus``)."""
     d = T(spark, sf, "documents").select("doc_id", F.lower("text").alias("t"))
     plant = (
         d.filter(
@@ -571,7 +575,8 @@ def _substring_corpus(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("t"),
         )
     )
-    return d.unionAll(plant).filter(F.length("t") >= SUBSTR_WIN)
+    corpus = d.unionAll(plant)
+    return corpus.filter(F.length("t") >= SUBSTR_WIN) if eligible_only else corpus
 
 
 @q(
@@ -646,37 +651,10 @@ def dedup_substring_windows(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@q(
-    "dedup_substring_spans",
-    f"""
-    WITH {_SUBSTR_EL_SQL},
-    w AS (SELECT DISTINCT doc_id, i, md5(substring(t, i, {SUBSTR_WIN})) AS h
-          FROM el, UNNEST(generate_series(1, length(t) - {SUBSTR_WIN - 1})) AS u(i)),
-    sel AS (SELECT doc_id, i, h FROM w WHERE substring(h, 1, 1) = '{SUBSTR_SEL_HEX}'),
-    hs AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM sel GROUP BY h),
-    keep AS (SELECT h FROM hs WHERE nd >= 2 AND nd <= {MAX_DF}),
-    m AS (SELECT sel.doc_id, sel.i FROM sel JOIN keep USING (h))
-    SELECT doc_id, COUNT(*) AS n_dup_windows,
-           MIN(i) AS dup_start, MAX(i) + {SUBSTR_WIN - 1} AS dup_end
-    FROM m GROUP BY doc_id
-    HAVING COUNT(*) >= {SUBSTR_MIN_SHARED}
-    """,
-)
-def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-document duplicated-span EXTENTS — the excision view of
-    exact-substring dedup: for every document whose sampled windows also
-    occur in at least one other document, report how many windows matched
-    and the [dup_start, dup_end] char range they cover (1-based, inclusive).
-    This is what a curation pipeline actually consumes to CUT a verbatim
-    passage out of an otherwise-unique document (the remove-the-span half
-    of Lee et al.'s ExactSubstr, where dedup_substring_windows is the
-    find-the-pairs half). Same shift-invariant mod-sampled fingerprints,
-    same planted passages, fully hash-oracled.
-
-    Scale: identical scan/sample/DF-guard shape as dedup_substring_windows,
-    but NO pair self-join at all — the per-window doc-frequency aggregate
-    doubles as the match detector, so the whole operator is two key-bounded
-    aggregations. Cheaper than the pair view at any corpus size."""
+def _substring_matched_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, i) of every sampled window whose content also occurs in at
+    least one other document (DF-guarded) — the shared match stage of the
+    span and excise views."""
     corpus = _substring_corpus(spark, sf)
     idx = F.sequence(F.lit(1), F.greatest(F.length("t") - (SUBSTR_WIN - 1), F.lit(1)))
     wins = (
@@ -702,8 +680,49 @@ def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
         .filter((F.col("nd") >= 2) & (F.col("nd") <= MAX_DF))
         .select("h")
     )
+    return sel.join(keep, "h").select("doc_id", "i")
+
+
+# shared SQL suffix: matched sampled windows (doc_id, i), mirroring
+# _substring_matched_windows on top of _SUBSTR_EL_SQL
+_SUBSTR_MATCH_SQL = f"""
+    w AS (SELECT DISTINCT doc_id, i, md5(substring(t, i, {SUBSTR_WIN})) AS h
+          FROM el, UNNEST(generate_series(1, length(t) - {SUBSTR_WIN - 1})) AS u(i)),
+    sel AS (SELECT doc_id, i, h FROM w WHERE substring(h, 1, 1) = '{SUBSTR_SEL_HEX}'),
+    hs AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM sel GROUP BY h),
+    keep AS (SELECT h FROM hs WHERE nd >= 2 AND nd <= {MAX_DF}),
+    m AS (SELECT sel.doc_id, sel.i FROM sel JOIN keep USING (h))
+"""
+
+
+@q(
+    "dedup_substring_spans",
+    f"""
+    WITH {_SUBSTR_EL_SQL},
+    {_SUBSTR_MATCH_SQL}
+    SELECT doc_id, COUNT(*) AS n_dup_windows,
+           MIN(i) AS dup_start, MAX(i) + {SUBSTR_WIN - 1} AS dup_end
+    FROM m GROUP BY doc_id
+    HAVING COUNT(*) >= {SUBSTR_MIN_SHARED}
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document duplicated-span EXTENTS — the excision view of
+    exact-substring dedup: for every document whose sampled windows also
+    occur in at least one other document, report how many windows matched
+    and the [dup_start, dup_end] char range they cover (1-based, inclusive).
+    This is what a curation pipeline actually consumes to CUT a verbatim
+    passage out of an otherwise-unique document (the remove-the-span half
+    of Lee et al.'s ExactSubstr, where dedup_substring_windows is the
+    find-the-pairs half). Same shift-invariant mod-sampled fingerprints,
+    same planted passages, fully hash-oracled.
+
+    Scale: identical scan/sample/DF-guard shape as dedup_substring_windows,
+    but NO pair self-join at all — the per-window doc-frequency aggregate
+    doubles as the match detector, so the whole operator is two key-bounded
+    aggregations. Cheaper than the pair view at any corpus size."""
     return (
-        sel.join(keep, "h")
+        _substring_matched_windows(spark, sf)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_dup_windows"),
@@ -711,6 +730,61 @@ def dedup_substring_spans(spark: SparkSession, sf: str) -> DataFrame:
             (F.max("i") + (SUBSTR_WIN - 1)).alias("dup_end"),
         )
         .filter(F.col("n_dup_windows") >= SUBSTR_MIN_SHARED)
+    )
+
+
+@q(
+    "dedup_substring_excise",
+    f"""
+    WITH {_SUBSTR_EL_SQL},
+    {_SUBSTR_MATCH_SQL},
+    sp AS (SELECT doc_id, MIN(i) AS s, MAX(i) + {SUBSTR_WIN - 1} AS e
+           FROM m GROUP BY doc_id HAVING COUNT(*) >= {SUBSTR_MIN_SHARED})
+    SELECT c.doc_id,
+           CAST(CASE WHEN sp.doc_id IS NULL THEN 0 ELSE sp.e - sp.s + 1 END AS BIGINT)
+             AS n_chars_removed,
+           md5(CASE WHEN sp.doc_id IS NULL THEN c.t
+                    ELSE substring(c.t, 1, sp.s - 1) || substring(c.t, sp.e + 1) END)
+             AS clean_hash
+    FROM corpus c LEFT JOIN sp USING (doc_id)
+    """,
+)
+def dedup_substring_excise(spark: SparkSession, sf: str) -> DataFrame:
+    """The excision itself: documents with their duplicated span CUT OUT —
+    detect (mod-sampled windows) → localize (span extent) → remove (string
+    surgery), the full remove-the-passage loop of Lee et al.'s ExactSubstr.
+    Every document comes back (planted twins included) with the chars
+    removed and an md5 of the cleaned text, so the gate verifies the edited
+    payloads BYTE-FOR-BYTE (the pii_scrub hash-gating pattern), not just
+    bookkeeping counts. Offsets and surgery operate on the same normalized
+    (lowercased) view the windows were fingerprinted on; a production
+    pipeline maps the span back to raw offsets before cutting.
+
+    Scale: the span side is the two-aggregation plan of
+    dedup_substring_spans; the surgery is a narrow map after one LEFT join
+    on doc_id — no new shuffle shape."""
+    corpus = _substring_corpus(spark, sf, eligible_only=False)
+    sp = (
+        _substring_matched_windows(spark, sf)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("nw"), F.min("i").alias("s"), (F.max("i") + (SUBSTR_WIN - 1)).alias("e"))
+        .filter(F.col("nw") >= SUBSTR_MIN_SHARED)
+        .select("doc_id", "s", "e")
+    )
+    j = corpus.join(sp, "doc_id", "left")
+    clean = F.when(F.col("s").isNull(), F.col("t")).otherwise(
+        F.concat(
+            F.col("t").substr(F.lit(1), F.col("s") - 1),
+            F.col("t").substr(F.col("e") + 1, F.length("t")),
+        )
+    )
+    removed = F.when(F.col("s").isNull(), F.lit(0)).otherwise(
+        F.col("e") - F.col("s") + 1
+    )
+    return j.select(
+        "doc_id",
+        removed.cast("bigint").alias("n_chars_removed"),
+        F.md5(F.encode(clean, "utf-8")).alias("clean_hash"),
     )
 
 
