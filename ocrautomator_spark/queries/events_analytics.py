@@ -298,3 +298,37 @@ def events_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
         "touch_type",
         ((F.col("t") - F.col("touch_t")) / F.lit(1000000.0)).cast("double").alias("latency_sec"),
     )
+
+
+@q(
+    "events_path_transitions",
+    """
+    WITH o AS (SELECT user_id, event_type, ts, event_id,
+                      LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        AS next_type
+               FROM events)
+    SELECT event_type AS from_type, next_type AS to_type,
+           COUNT(*) AS n_transitions
+    FROM o WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_path_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Path/sequence analytics: the event-type transition matrix (Markov
+    view of user journeys) — for each user's time-ordered stream, count
+    (this event → next event) pairs across the corpus. The building block
+    of funnel discovery and next-action modeling, complementing the FIXED
+    funnel of events_funnel.
+
+    Scale: one user_id shuffle (shared with the rest of the events family),
+    a narrow lead() window, then a tiny (|event types|²) aggregate with
+    map-side partials — no joins at all."""
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    o = _events(spark, sf).withColumn("next_type", F.lead("event_type").over(w))
+    return (
+        o.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+        )
+        .agg(F.count("*").alias("n_transitions"))
+    )
