@@ -116,3 +116,28 @@ def test_compaction_preserves_data_and_resume(spark, tmp_path):
     again = run_pipeline(df, io, n_buckets=4, run_id="r2")
     assert again == []
     assert _sorted_rows(io.read(spark)) == before
+
+
+def test_maintenance_edge_cases(spark, tmp_path):
+    """Maintenance API contracts: compacting an uncommitted bucket raises
+    (never silently invents a manifest); reading an empty store raises;
+    re-compaction increments the generation and stays byte-identical; GC on
+    a clean store removes nothing."""
+    import pytest as _pytest
+
+    io = ParquetManifestIO(str(tmp_path / "store"))
+    with _pytest.raises(FileNotFoundError):
+        io.read(spark)
+    with _pytest.raises(FileNotFoundError):
+        io.compact_bucket(spark, 3, "rc")
+
+    df = synth_transcripts_df(spark, 10, n_partitions=4)
+    run_pipeline(df, io, n_buckets=2, run_id="r1")
+    before = _sorted_rows(io.read(spark))
+    m1 = io.compact_bucket(spark, 0, "rc1")
+    m2 = io.compact_bucket(spark, 0, "rc2")
+    assert (m1["gen"], m2["gen"]) == (1, 2)
+    removed = io.gc_orphans()
+    assert len(removed) == 2  # gen-0 dir + gen-1 dir of bucket 0
+    assert io.gc_orphans() == []  # idempotent on a clean store
+    assert _sorted_rows(io.read(spark)) == before
