@@ -59,6 +59,17 @@ _TOKEN_FAST = re.compile(
 )
 
 
+# Bounded memo for the (unescape + whitespace-collapse) normalization of
+# text-run tokens OUTSIDE <pre>. Web corpora repeat boilerplate runs
+# massively (nav labels, footer strings — this corpus measures 4.2 tokens
+# per distinct run, real crawls are far more repetitive), so the common case
+# becomes one dict hit. The transformation is a pure function of the token,
+# so caching cannot change behavior; the cap bounds executor memory on
+# adversarial all-distinct input, trading hit rate, never correctness.
+_RUN_MEMO: dict[str, str] = {}
+_RUN_MEMO_CAP = 200_000
+
+
 def segment_html(raw: str) -> list[Block]:
     """Tokenize raw HTML and group text runs into scored candidate blocks.
 
@@ -141,20 +152,27 @@ def segment_html(raw: str) -> list[Block]:
             if skip_depth:
                 continue
             tok = m.group(2)
-            text = _html.unescape(tok) if "&" in tok else tok
             if pre_depth == 0:
-                # C-level equivalent of _WS_ANY.sub(" ", text): collapse all
-                # (unicode) whitespace runs to single spaces, preserving
-                # one-space boundaries at the ends
-                mid = " ".join(text.split())
-                if mid:
-                    if text[0].isspace():
-                        mid = " " + mid
-                    if text[-1].isspace():
-                        mid += " "
-                    text = mid
-                elif text:
-                    text = " "
+                text = _RUN_MEMO.get(tok)
+                if text is None:
+                    text = _html.unescape(tok) if "&" in tok else tok
+                    # C-level equivalent of _WS_ANY.sub(" ", text): collapse
+                    # all (unicode) whitespace runs to single spaces,
+                    # preserving one-space boundaries at the ends
+                    mid = " ".join(text.split())
+                    if mid:
+                        if text[0].isspace():
+                            mid = " " + mid
+                        if text[-1].isspace():
+                            mid += " "
+                        text = mid
+                    elif text:
+                        text = " "
+                    if len(_RUN_MEMO) >= _RUN_MEMO_CAP:
+                        _RUN_MEMO.clear()
+                    _RUN_MEMO[tok] = text
+            else:
+                text = _html.unescape(tok) if "&" in tok else tok
             if not text:
                 continue
             if not kind_set and not text.isspace():
