@@ -354,35 +354,51 @@ def lifecycle_compact_stats(spark: SparkSession, sf: str) -> DataFrame:
     Scale: compaction is per-bucket (one job per chunk, the retryable unit),
     coalesce not repartition (no shuffle — file-merge only), and GC is a
     manifest-set difference, O(#directories)."""
+    import shutil
     import tempfile
 
     from ocrautomator_spark.spark.tableio import ParquetManifestIO
 
-    io = ParquetManifestIO(tempfile.mkdtemp(prefix="ocras_lifecycle_"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")), 1, 1), 16, 10)
-        .cast("int") % LIFECYCLE_NBUCKETS
-    )
-    docs = T(spark, sf, "documents").select("doc_id", bucket.alias("bucket"))
-    for b in range(LIFECYCLE_NBUCKETS):
-        io.write_bucket(
-            docs.filter(F.col("bucket") == b).repartition(LIFECYCLE_FILES_PER_BUCKET),
-            b,
-            "lifecycle-ingest",
+    scratch = tempfile.mkdtemp(prefix="ocras_lifecycle_")
+    try:
+        io = ParquetManifestIO(scratch)
+        bucket = (
+            F.conv(F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")), 1, 1), 16, 10)
+            .cast("int") % LIFECYCLE_NBUCKETS
         )
-    # a crashed run's uncommitted chunk: data, no manifest
-    io.write_bucket_data(docs.limit(10), 99)
-    manifests = [
-        io.compact_bucket(spark, b, "lifecycle-compact")
-        for b in range(LIFECYCLE_NBUCKETS)
-    ]
-    removed = io.gc_orphans()
-    # the orphan AND the four pre-compaction generations must be gone
-    assert any("bucket=00099" in p for p in removed), removed
-    assert len(removed) == LIFECYCLE_NBUCKETS + 1, removed
-    data = io.read(spark).groupBy("bucket").agg(F.count("*").alias("n_rows"))
-    mdf = spark.createDataFrame(
-        [(m["bucket"], m["files_before"], m["files_after"]) for m in manifests],
-        "bucket int, files_before int, files_after int",
-    )
-    return data.join(F.broadcast(mdf), "bucket")
+        docs = T(spark, sf, "documents").select("doc_id", bucket.alias("bucket"))
+        for b in range(LIFECYCLE_NBUCKETS):
+            io.write_bucket(
+                docs.filter(F.col("bucket") == b).repartition(LIFECYCLE_FILES_PER_BUCKET),
+                b,
+                "lifecycle-ingest",
+            )
+        # a crashed run's uncommitted chunk: data, no manifest
+        io.write_bucket_data(docs.limit(10), 99)
+        manifests = [
+            io.compact_bucket(spark, b, "lifecycle-compact")
+            for b in range(LIFECYCLE_NBUCKETS)
+        ]
+        # older_than=0: this scratch store has no concurrent ingest by
+        # construction, so the in-flight-write grace window doesn't apply
+        removed = io.gc_orphans(older_than=0)
+        # integrity gates raise (not assert: must survive `python -O`)
+        if not any("bucket=00099" in p for p in removed):
+            raise RuntimeError(f"orphan chunk not GC'd: {removed}")
+        if len(removed) != LIFECYCLE_NBUCKETS + 1:
+            raise RuntimeError(f"unexpected GC set: {removed}")
+        # materialize the per-bucket counts (LIFECYCLE_NBUCKETS rows, bounded)
+        # BEFORE tearing down the scratch store the lazy plan reads from
+        counts = (
+            io.read(spark).groupBy("bucket").agg(F.count("*").alias("n_rows")).collect()
+        )
+        rows = {r["bucket"]: r["n_rows"] for r in counts}
+        return spark.createDataFrame(
+            [
+                (m["bucket"], int(rows[m["bucket"]]), m["files_before"], m["files_after"])
+                for m in manifests
+            ],
+            "bucket int, n_rows bigint, files_before int, files_after int",
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

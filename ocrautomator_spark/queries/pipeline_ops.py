@@ -448,7 +448,10 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
         out = np.zeros(len(texts), dtype=np.uint64)
         for i, t in enumerate(texts):
-            toks = (t or "").split()
+            # split(' ') + empty filter, NOT str.split(): the DuckDB oracle
+            # tokenizes with string_split(text, ' '), and any-whitespace
+            # splitting would silently diverge on a corpus with tabs/newlines
+            toks = [w for w in (t or "").split(" ") if w]
             if not toks:
                 continue
             hs = np.fromiter(

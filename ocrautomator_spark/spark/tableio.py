@@ -86,10 +86,19 @@ class ParquetManifestIO:
         return spark.read.parquet(*paths)
 
     def manifests(self) -> list[dict[str, Any]]:
-        return sorted(
-            (json.loads(p.read_text()) for p in self.manifest_dir.glob("bucket-*.json")),
-            key=lambda m: m["bucket"],
-        )
+        # Same durability policy as committed_buckets(): a torn/corrupt
+        # manifest is "not committed" — skipped, never a crash. read()/
+        # compact/GC must not apply stricter semantics than resume does.
+        out = []
+        for p in self.manifest_dir.glob("bucket-*.json"):
+            try:
+                m = json.loads(p.read_text())
+                m["bucket"]  # noqa: B018 - key presence check
+                m["path"]
+            except (ValueError, KeyError, json.JSONDecodeError):
+                continue  # torn write never counts as committed
+            out.append(m)
+        return sorted(out, key=lambda m: m["bucket"])
 
     # -- maintenance: small-file compaction + orphan GC (the Iceberg
     # rewrite_data_files / expire_snapshots + remove_orphan_files pair) --
@@ -131,20 +140,38 @@ class ParquetManifestIO:
         os.replace(tmp, final)  # readers atomically switch generations here
         return manifest
 
-    def gc_orphans(self) -> list[str]:
+    def gc_orphans(self, older_than: float = 300.0) -> list[str]:
         """Remove data directories referenced by NO manifest: uncommitted
         chunk writes from crashed runs and pre-compaction generations whose
-        manifest has moved on. Safe by the commit protocol — anything a
-        reader could see is always manifest-referenced. Returns the removed
-        paths (the audit trail a production job logs)."""
+        manifest has moved on. Readers are safe by the commit protocol
+        (anything visible is manifest-referenced), but CONCURRENT WRITERS are
+        not: a GC run between another writer's ``write_bucket_data`` and
+        ``commit_bucket`` would delete in-flight data, after which the commit
+        lands a manifest pointing at nothing. The ``older_than`` grace window
+        (seconds; same idea as Iceberg ``remove_orphan_files(older_than =>
+        ...)``, default 3 days there) protects in-flight writes: a directory
+        whose newest mtime is within the window is skipped. Pass
+        ``older_than=0`` only when no concurrent ingest can be running.
+        Returns the removed paths (the audit trail a production job logs)."""
         import shutil
 
         referenced = {m["path"] for m in self.manifests()}
+        now = time.time()
         removed = []
         for d in sorted(self.data_dir.glob("bucket=*")):
-            if str(d) not in referenced:
-                shutil.rmtree(d, ignore_errors=True)
-                removed.append(str(d))
+            if str(d) in referenced:
+                continue
+            try:
+                newest = max(
+                    (p.stat().st_mtime for p in d.rglob("*") if p.is_file()),
+                    default=d.stat().st_mtime,
+                )
+            except OSError:
+                continue  # raced with a writer/another GC: leave it alone
+            if now - newest < older_than:
+                continue  # possibly an in-flight uncommitted write
+            shutil.rmtree(d, ignore_errors=True)
+            removed.append(str(d))
         return removed
 
 

@@ -216,7 +216,13 @@ def stateful_sessionize(
     API boundary contract: batches must arrive per-user time-ordered across
     microbatches (true for the file source's ascending file names). Events
     that violate it (t < the carried state's last_t) are DROPPED, not
-    silently folded into the open session."""
+    silently folded into the open session. Duplicate delivery is guarded at
+    the state boundary too: the carried state tracks the last folded
+    event_id, and an exact replay (same t as the state's last_t with
+    event_id ≤ the one already folded — a redelivered retry) is dropped
+    rather than inflating n_events. Within-batch duplicates are NOT deduped
+    (the batch oracle counts every row); dedupe by event_id upstream
+    (streaming_dedup) for at-least-once sources."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import IntegerType
@@ -236,6 +242,7 @@ def stateful_sessionize(
             StructField("sess", LongType(), True),
             StructField("start", LongType(), True),
             StructField("n", LongType(), True),
+            StructField("last_eid", LongType(), True),
         ]
     )
 
@@ -245,20 +252,27 @@ def stateful_sessionize(
             return
         pdf = pdf.sort_values(["t", "event_id"])
         if state.exists:
-            last_t, sess, start, n = state.get
+            last_t, sess, start, n, last_eid = state.get
             # Boundary contract: the source must deliver per-user batches in
             # event-time order (the file source guarantees it via ascending
             # file names/mtimes). An event OLDER than the carried state would
             # otherwise silently extend or corrupt the open session — drop it
             # instead, the stateful analogue of a watermark discarding late
-            # data. Never fires on an order-conforming source, so batch-
-            # oracle parity is untouched.
-            pdf = pdf[pdf["t"] >= last_t]
+            # data. An event AT the carried timestamp with an already-folded
+            # event_id is an exact replay (at-least-once redelivery) — drop
+            # it too, or a retried microbatch would inflate n_events. Never
+            # fires on an ordered exactly-once source, so batch-oracle
+            # parity is untouched.
+            pdf = pdf[
+                (pdf["t"] > last_t)
+                | ((pdf["t"] == last_t) & (pdf["event_id"] > last_eid))
+            ]
             if pdf.empty:
                 return
         else:
-            last_t, sess, start, n = 0, 0, 0, 0
+            last_t, sess, start, n, last_eid = 0, 0, 0, 0, -1
         out = []
+        last_eid = int(pdf["event_id"].iloc[-1])
         for t in pdf["t"].tolist():
             if sess == 0 or t - last_t > gap_us:
                 if sess > 0:
@@ -270,7 +284,7 @@ def stateful_sessionize(
                 n += 1
             last_t = t
         out.append((sess, n, start, last_t))  # open session, extent so far
-        state.update((last_t, sess, start, n))
+        state.update((last_t, sess, start, n, last_eid))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]] * len(out),

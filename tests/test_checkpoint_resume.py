@@ -106,7 +106,8 @@ def test_compaction_preserves_data_and_resume(spark, tmp_path):
     assert all(n > 1 for n in files_before.values()), files_before
 
     manifests = [io.compact_bucket(spark, b, "rc") for b in range(4)]
-    removed = io.gc_orphans()
+    assert io.gc_orphans() == []  # grace window: fresh dirs are never GC'd
+    removed = io.gc_orphans(older_than=0)
     assert len(removed) == 4, removed  # the four pre-compaction generations
     assert all(m["files_after"] == 1 for m in manifests)
     assert all(m["files_before"] == files_before[m["bucket"]] for m in manifests)
@@ -137,7 +138,7 @@ def test_maintenance_edge_cases(spark, tmp_path):
     m1 = io.compact_bucket(spark, 0, "rc1")
     m2 = io.compact_bucket(spark, 0, "rc2")
     assert (m1["gen"], m2["gen"]) == (1, 2)
-    removed = io.gc_orphans()
+    removed = io.gc_orphans(older_than=0)
     assert len(removed) == 2  # gen-0 dir + gen-1 dir of bucket 0
-    assert io.gc_orphans() == []  # idempotent on a clean store
+    assert io.gc_orphans(older_than=0) == []  # idempotent on a clean store
     assert _sorted_rows(io.read(spark)) == before

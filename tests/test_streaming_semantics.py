@@ -174,3 +174,48 @@ def test_stateful_sessionize_drops_cross_batch_late_events(spark, tmp_path):
     assert r["n_events"] == 3, f"late event folded in: n_events={r['n_events']}"
     assert r["session_start_us"] == 1_000_000
     assert r["session_end_us"] == 3_000_000
+
+
+def test_stateful_sessionize_drops_exact_replays(spark, tmp_path):
+    """At-least-once guard (ADVICE r4): an event redelivered in a later
+    microbatch with the SAME (t, event_id) as the last folded event is an
+    exact replay and must be dropped, not folded in again. File 1 carries
+    (eid=10, t=1s), (eid=11, t=2s); file 2 REPLAYS (eid=11, t=2s) and adds
+    (eid=12, t=3s) — the open session must count 3 events, not 4."""
+    import os
+    import time as _time
+
+    import duckdb
+
+    from ocrautomator_spark.streaming.jobs import EVENTS_SCHEMA, stateful_sessionize
+    from tests.conftest import SF_DIR
+
+    con = duckdb.connect()
+    indir = tmp_path / "in"
+    indir.mkdir()
+    batches = [[(10, 1_000_000), (11, 2_000_000)], [(11, 2_000_000), (12, 3_000_000)]]
+    for i, ev_list in enumerate(batches):
+        vals = ", ".join(
+            f"({eid}, make_timestamp({t}), 7, 'click', 1.0, '{{}}')"
+            for eid, t in ev_list
+        )
+        con.execute(
+            f"COPY (SELECT * FROM (VALUES {vals}) "
+            "v(event_id, ts, user_id, event_type, value, props)) "
+            f"TO '{indir}/{i:03d}.parquet' (FORMAT PARQUET)"
+        )
+        os.utime(indir / f"{i:03d}.parquet", (1000000 + i * 100, 1000000 + i * 100))
+        _time.sleep(0.05)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+    )
+    out = stateful_sessionize(spark, SF_DIR, gap_us=8 * 3600 * 1_000_000, stream=stream)
+    rows = {(r["user_id"], r["session_idx"]): r for r in out.collect()}
+    assert set(rows) == {(7, 1)}, f"unexpected sessions: {rows}"
+    r = rows[(7, 1)]
+    assert r["n_events"] == 3, f"replay folded in: n_events={r['n_events']}"
+    assert r["session_start_us"] == 1_000_000
+    assert r["session_end_us"] == 3_000_000
