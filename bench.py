@@ -87,6 +87,7 @@ HEADLINE = [
     "events_sessionize",
     "search_bm25_topk",
     "dedup_substring_windows",
+    "dedup_substring_windows_rk",
     "extract_flagship",
 ]
 HEADLINE_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_HREPS", "2"))
