@@ -348,6 +348,20 @@ def main() -> None:
     for name in HEADLINE:
         results[name] = min(walls[name])
     extras["headline_walls"] = walls
+    # env-gated minhash production hash (xxhash64, no DuckDB twin): record
+    # the fast-mode walls next to the oracle-mode headline numbers so the
+    # md5-for-oracle-ability cost stays a measured, not estimated, quantity
+    os.environ["SPARK_GRAFT_MINHASH_FAST"] = "1"
+    try:
+        fast_walls: dict[str, list[float]] = {}
+        for _ in range(max(HEADLINE_REPS, 2)):
+            for name in ("dedup_minhash_lsh", "dedup_minhash_weighted"):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                fast_walls.setdefault(name, []).append(round(time.perf_counter() - t0, 3))
+    finally:
+        del os.environ["SPARK_GRAFT_MINHASH_FAST"]
+    extras["minhash_fast_walls"] = {n: min(w) for n, w in fast_walls.items()}
     spark.stop()
 
     from ocrautomator_spark.kernel import EXTRACTOR_VERSION

@@ -737,3 +737,27 @@ def test_substring_spans_cover_planted_passage(spark):
         if base_id in spans:
             b = spans[base_id]
             assert b["dup_end"] >= po.SUBSTR_PLANT_OFF
+
+
+def test_minhash_fast_mode_pair_set_agreement(spark):
+    """VERDICT r4 item 2: the env-gated xxhash64 production hash and the md5
+    oracle hash must emit the same candidate pair SET for both minhash
+    entries at the gate scale (estimates may differ — different base hash,
+    different min-wise samples — but detection must agree; measured
+    identical at sf0.001 and sf0.01). The parity gate always runs md5 mode;
+    this is the fast path's correctness anchor."""
+    import os
+
+    from ocrautomator_spark.queries.pipeline_ops import MINHASH_FAST_ENV, QUERIES
+
+    sf = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
+    assert os.environ.get(MINHASH_FAST_ENV) != "1", "parity env leaked into tests"
+    for name in ("dedup_minhash_lsh", "dedup_minhash_weighted"):
+        slow = {(r.doc_a, r.doc_b) for r in QUERIES[name](spark, sf).collect()}
+        os.environ[MINHASH_FAST_ENV] = "1"
+        try:
+            fast = {(r.doc_a, r.doc_b) for r in QUERIES[name](spark, sf).collect()}
+        finally:
+            del os.environ[MINHASH_FAST_ENV]
+        assert slow == fast, f"{name}: pair sets diverge: {slow ^ fast}"
+        assert slow, f"{name}: vacuous gate — no pairs detected"
