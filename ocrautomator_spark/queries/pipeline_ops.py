@@ -2327,17 +2327,75 @@ def _bpe_count_udf():
     return n_bpe
 
 
-@q("token_stats_bpe")  # iterative merge application → no SQL twin; rows-only
+# ---- DuckDB twin of the frozen-merges BPE encoder (VERDICT r4 item 4) ----
+# BPE encode = applying the 48 frozen merges in RANK order. Sequential
+# rank-ordered replace-all is equivalent to the kernel's lowest-rank-first
+# priority application for greedily-trained merge tables (a pair involving a
+# symbol created at rank r can only have rank > r, so exhausting rank r
+# never steals a lower-rank merge) — pinned empirically by
+# tests/test_bpe.py::test_sql_twin_matches_kernel_on_adversarial_words over
+# random + adversarial words, and by the parity gate on the corpus itself.
+# Representation: each symbol wrapped in chr(31) separators with DOUBLED
+# separators between symbols ("⟂a⟂⟂b⟂⟂</w>⟂"), so replace('⟂a⟂⟂b⟂','⟂ab⟂')
+# can only fire at true symbol boundaries (symbols never contain ⟂) and
+# adjacent occurrences share no pattern chars (left-to-right non-overlap ≡
+# the kernel's leftmost merge). Token count = boundary count + 1. The
+# corpus contains no chr(31) and no tab/newline (the oracle splits words on
+# ' ' while the kernel splits on any whitespace — identical on this corpus,
+# same caveat as dedup_simhash).
+_BPE_SEP = chr(31)
+
+
+def _bpe_word_count_sql(word_expr: str = "w") -> str:
+    """Per-word BPE token count as one DuckDB scalar expression: build the
+    separator-encoded symbol string, apply the 48 frozen merges as nested
+    rank-ordered replace() calls, count remaining symbols."""
+    from ocrautomator_spark.kernel.bpe import END_OF_WORD, load_merges
+
+    s = _BPE_SEP
+
+    def esc(x: str) -> str:
+        return x.replace("'", "''")
+
+    expr = (
+        f"'{s}' || array_to_string(list_transform(generate_series(1, length({word_expr})), "
+        f"i -> substring({word_expr}, i, 1)), '{s}{s}') || '{s}' || '{s}{esc(END_OF_WORD)}{s}'"
+    )
+    for a, b in load_merges():
+        expr = f"replace({expr}, '{esc(s + a + s + s + b + s)}', '{esc(s + a + b + s)}')"
+    return f"(length({expr}) - length(replace({expr}, '{s}{s}', '{s}'))) + 1"
+
+
+_BPE_WORDS_SQL = """
+    words AS (SELECT doc_id, UNNEST(list_filter(string_split(lower(coalesce(text, '')), ' '),
+                                                x -> x <> '')) AS w
+              FROM documents)
+"""
+
+
+@q(
+    "token_stats_bpe",
+    f"""
+    WITH {_BPE_WORDS_SQL},
+    wc AS (SELECT doc_id, SUM({_bpe_word_count_sql()}) AS n FROM words GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(length(string_split(d.text, ' ')) AS INT) AS n_ws_tokens,
+           CAST(COALESCE(wc.n, 0) AS BIGINT) AS n_bpe_true
+    FROM documents d LEFT JOIN wc ON wc.doc_id = d.doc_id
+    """,
+)
 def token_stats_bpe(spark: SparkSession, sf: str) -> DataFrame:
     """Tokenizer-TRUE token counts via the frozen mini-BPE table — the
     honest upgrade over token_stats's regex proxy (a 'BPE-ish' pattern is
     not a tokenizer; context budgets are measured in real tokens). The
     merges table is trained once on the corpus and frozen as a golden file
     (kernel/bpe.py), so counts are deterministic on every engine and
-    executor. Gated by kernel golden tests + a Spark-vs-kernel equality
-    test (tests/test_bpe.py) instead of a SQL oracle — BPE's rank-ordered
-    iterative merge application is not sanely SQL-expressible (VERDICT r3
-    sanctioned rows-only for exactly this class)."""
+    executor. Hash-oracled since round 5: the DuckDB twin applies the 48
+    frozen merges as rank-ordered nested replace() rewrites over a
+    separator-encoded symbol string (see ``_bpe_word_count_sql``), so the
+    full encode — pretokenize, merge application, count — is value-gated;
+    the Spark-vs-kernel equality test (tests/test_bpe.py) still pins the
+    UDF against the kernel reference independently."""
     d = T(spark, sf, "documents")
     return d.select(
         "doc_id",
@@ -2346,15 +2404,29 @@ def token_stats_bpe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@q("pack_contiguous_bins_tokens")  # depends on BPE counts → rows-only
+@q(
+    "pack_contiguous_bins_tokens",
+    f"""
+    WITH {_BPE_WORDS_SQL},
+    wc AS (SELECT doc_id, SUM({_bpe_word_count_sql()}) AS n FROM words GROUP BY doc_id),
+    c AS (SELECT d.doc_id, COALESCE(wc.n, 0) AS n_tokens,
+                 SUM(COALESCE(wc.n, 0)) OVER (ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING) AS cum
+          FROM documents d LEFT JOIN wc ON wc.doc_id = d.doc_id)
+    SELECT CAST(floor((cum - n_tokens) / {PACK_BIN_TOKENS}) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM c GROUP BY 1
+    """,
+)
 def pack_contiguous_bins_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """Token-true contiguous packing: identical two-pass sharded plan as
     pack_contiguous_bins (per-shard windows + broadcast exclusive prefix of
     shard totals — no corpus-sized single-partition stage) but budgeted in
     REAL BPE tokens instead of the char proxy, which is what a pretraining
     batch assembler actually packs against. One Python stage computes the
-    counts; everything after is pure JVM. Pinned by a pure-Python reference
-    cross-check in tests/test_bpe.py."""
+    counts; everything after is pure JVM. Hash-oracled since round 5 via the
+    same nested-replace BPE twin as token_stats_bpe; the pure-Python
+    reference cross-check in tests/test_bpe.py stands independently."""
     d = T(spark, sf, "documents").select(
         "doc_id", _bpe_count_udf()("text").alias("n_tokens")
     )

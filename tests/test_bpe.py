@@ -101,3 +101,33 @@ def test_pack_tokens_matches_python_reference(spark):
         for r in po.QUERIES["pack_contiguous_bins_tokens"](spark, SF_DIR).collect()
     }
     assert got == {b: (nd[b], tot[b]) for b in nd}
+
+
+def test_sql_twin_matches_kernel_on_adversarial_words():
+    """The DuckDB nested-replace BPE twin (pipeline_ops._bpe_word_count_sql)
+    must reproduce the kernel's priority-rank encoder on words far outside
+    the corpus vocabulary — the empirical pin of the sequential-replace ≡
+    priority-application equivalence for greedily-trained merge tables:
+    random words, merge products and their repeats/embeddings, and
+    separator-adjacent shapes like 'a</w>b'."""
+    import random
+
+    import duckdb
+
+    from ocrautomator_spark.kernel.bpe import default_tokenizer
+    from ocrautomator_spark.queries.pipeline_ops import _bpe_word_count_sql
+
+    tok = default_tokenizer()
+    rng = random.Random(1)
+    syms = sorted({c for p in tok.merges for c in p[0] + p[1] if c != "<"} | set("abcdefghijklmnopqrstuvwxyz"))
+    words = {"a</w>b", "</w>", "<//w>", "aaaa", "zzzz"}
+    for _ in range(1500):
+        words.add("".join(rng.choice(syms) for _ in range(rng.randint(1, 14))))
+    for a, b in tok.merges:
+        words |= {a + b, a + b + a + b, b + a, a * 3 + b * 3, "x" + a + b + "y"}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE words(w VARCHAR)")
+    con.executemany("INSERT INTO words VALUES (?)", [(w,) for w in sorted(words)])
+    rows = con.execute(f"SELECT w, {_bpe_word_count_sql()} FROM words").fetchall()
+    bad = [(w, n, len(tok.encode_word(w))) for w, n in rows if n != len(tok.encode_word(w))]
+    assert not bad, f"SQL twin diverges from kernel on {len(bad)} words: {bad[:10]}"
