@@ -219,3 +219,74 @@ def test_stateful_sessionize_drops_exact_replays(spark, tmp_path):
     assert r["n_events"] == 3, f"replay folded in: n_events={r['n_events']}"
     assert r["session_start_us"] == 1_000_000
     assert r["session_end_us"] == 3_000_000
+
+
+def test_streaming_dedup_incremental_state_spans_microbatches(spark, tmp_path):
+    """Continuation contract of streaming_dedup_incremental (VERDICT r4
+    item 5): the stateful sha2 filter must carry its seen-set ACROSS
+    microbatches, and the snapshot anti-join must kill already-committed
+    fingerprints. File 1: doc A (fingerprint pre-committed in the manifest
+    store -> killed), docs B+B' (same new fp, in-batch arg-min -> smaller id
+    emitted). File 2: doc C REPLAYS B's fingerprint (cross-batch state kill)
+    and doc D is new (emitted). Expected survivors: min(B,B') and D only."""
+    import hashlib
+    import os
+    import time as _time
+
+    import duckdb
+
+    from ocrautomator_spark.queries.corpus_ops import INC_MIN, REPLAY_MAX
+    from ocrautomator_spark.queries.corpus_ops import streaming_dedup_incremental as run
+    from ocrautomator_spark.spark.tableio import ParquetManifestIO
+
+    # ids whose md5 prefix is > REPLAY_MAX (pass the inc filter, never the
+    # in-entry replay branch) so the expectation below is exact
+    ids = [i for i in range(1, 400)
+           if hashlib.md5(str(i).encode()).hexdigest()[0] > REPLAY_MAX][:5]
+    assert len(ids) == 5 and all(
+        hashlib.md5(str(i).encode()).hexdigest()[0] >= INC_MIN for i in ids
+    )
+    a, b, b2, c, d = ids
+    if b2 < b:
+        b, b2 = b2, b  # b = the arg-min survivor of the shared fingerprint
+
+    con = duckdb.connect()
+    indir = tmp_path / "in"
+    indir.mkdir()
+    batches = [
+        [(a, "snaptext"), (b, "newtext-x"), (b2, "newtext-x")],
+        [(c, "newtext-x"), (d, "newtext-y")],
+    ]
+    for i, docs in enumerate(batches):
+        vals = ", ".join(f"({did}, '{t}', 'en', 'web', {len(t)})" for did, t in docs)
+        con.execute(
+            f"COPY (SELECT * FROM (VALUES {vals}) v(doc_id, text, lang, source, n_chars)) "
+            f"TO '{indir}/{i:03d}.parquet' (FORMAT PARQUET)"
+        )
+        os.utime(indir / f"{i:03d}.parquet", (1000000 + i * 100, 1000000 + i * 100))
+        _time.sleep(0.05)
+
+    store = ParquetManifestIO(str(tmp_path / "store"))
+    store.write_bucket(
+        spark.sql("SELECT sha2(encode('snaptext', 'utf-8'), 256) AS fp"), 0, "seed"
+    )
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(indir))
+    )
+    out = run(spark, "unused", stream=stream, store_root=str(tmp_path / "store"))
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == sorted([b, d]), (
+        f"expected survivors {sorted([b, d])} (ids a={a} b={b} b2={b2} c={c} d={d}), got {got}"
+    )
