@@ -196,3 +196,85 @@ def test_aqe_skew_join_splits_hot_partition(spark, tmp_path):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_substring_family_scale_guards(spark, tmp_path):
+    """VERDICT r4 item 7 — evidence the substring-dedup 100 TB story beyond
+    the gate scale. (a) At sf0.1, the 1/16 mod-sample bounds the pair-stage
+    shuffle: selected window rows ≤ corpus_chars/16 × 1.2 (fixed-width md5
+    keys, so shuffle bytes ≤ ~corpus_bytes/16 × key_width/char_width). (b)
+    The MAX_DF stop-window guard actually caps the hottest bucket: a planted
+    boilerplate window shared by 150 docs (DF ≫ MAX_DF) is dropped before
+    the self-join, so the detector emits ZERO pairs instead of ~150²/2 —
+    for BOTH the md5 and the Rabin-Karp detector."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    import ocrautomator_spark.queries.pipeline_ops as po
+
+    # (a) shuffle-volume bound at sf0.1 on the real corpus
+    sf = "/root/testdata/sf0.1"
+    corpus = po._substring_corpus(spark, sf)
+    idx = F.sequence(F.lit(1), F.greatest(F.length("t") - (po.SUBSTR_WIN - 1), F.lit(1)))
+    wins = corpus.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.md5(F.col("t").substr(i, F.lit(po.SUBSTR_WIN))))
+        ).alias("h"),
+    )
+    sel = wins.filter(F.substring("h", 1, 1) == po.SUBSTR_SEL_HEX).distinct()
+    n_sel = sel.count()
+    total_chars = corpus.agg(F.sum(F.length("t"))).collect()[0][0]
+    assert n_sel <= total_chars / 16 * 1.2, (
+        f"mod-sample leaked: {n_sel} selected rows vs {total_chars} chars"
+    )
+
+    # (b) planted hot window: 150 docs share one 64-char boilerplate run
+    rng = random.Random(9)
+    boiler = "".join(rng.choice("abcdefghij") for _ in range(300))  # 237 windows: P(no sampled window) ≈ 2e-7
+    ids, texts = [], []
+    next_id = 1
+    for _ in range(150):
+        if next_id % po.SUBSTR_PLANT_MOD == 0:
+            next_id += 1  # keep the corpus helper's own planting inert
+        ids.append(next_id)
+        # a doc-unique single char at each boilerplate edge: every window
+        # CROSSING the edge contains it and is doc-unique (a multi-char id
+        # tag would leak shared suffixes — doc 33 and 133 both end "33"),
+        # so the only cross-doc shared windows are the 237 in-boiler ones
+        tag = chr(0x4E00 + len(ids))
+        texts.append(
+            "".join(rng.choice("qrstuvwxyz ") for _ in range(120))
+            + tag + boiler + tag
+            + "".join(rng.choice("qrstuvwxyz ") for _ in range(120))
+        )
+        next_id += 1
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts}),
+        str(tmp_path / "documents.parquet"),
+    )
+    hot_corpus = po._substring_corpus(spark, str(tmp_path))
+    hot_wins = hot_corpus.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("t") - (po.SUBSTR_WIN - 1), F.lit(1))),
+                lambda i: F.md5(F.col("t").substr(i, F.lit(po.SUBSTR_WIN))),
+            )
+        ).alias("h"),
+    )
+    hot_sel = hot_wins.filter(F.substring("h", 1, 1) == po.SUBSTR_SEL_HEX).distinct()
+    pre_guard_max = hot_sel.groupBy("h").count().agg(F.max("count")).collect()[0][0]
+    assert pre_guard_max > po.MAX_DF, (
+        f"plant failed: hottest sampled window DF {pre_guard_max} ≤ MAX_DF — "
+        "the boilerplate run selected no window under this hash (re-seed)"
+    )
+    for qname in ("dedup_substring_windows", "dedup_substring_windows_rk"):
+        pairs = po.QUERIES[qname](spark, str(tmp_path)).count()
+        assert pairs == 0, (
+            f"{qname}: {pairs} pairs from a >MAX_DF boilerplate bucket — "
+            "the stop-window guard did not cap the hot bucket"
+        )
