@@ -957,8 +957,10 @@ def dedup_substring_windows_rk(spark: SparkSession, sf: str) -> DataFrame:
     computes the direct window sum Σ cp·B^(63−j) with the 64 power constants
     inlined; the Spark side computes the same value via rolling prefix sums
     — the parity gate therefore pins the rolling≡direct identity end-to-end.
-    Pair-set agreement with the md5 detector on the planted corpus is
-    separately pinned by tests/test_pipeline_ops_units.py."""
+    Pair-set agreement with the md5 detector (planted set identical, no
+    false positives, disagreement only within sketch variance, measured
+    recall vs passage length) is separately pinned against an exact
+    driver-side ground truth by tests/test_substring_ground_truth.py."""
     sel = _rk_sampled_keys(spark, sf).distinct()
     keep = (
         sel.groupBy("k").agg(F.count("*").alias("df"))
