@@ -51,12 +51,14 @@ def reflow_pdf(raw: str) -> list[Block]:
     # last EDGE_LINES non-empty lines per page, recurring on ≥ MIN_REPEATS pages
     sig_pages: dict[str, set[int]] = {}
     page_edges: list[set[int]] = []
+    edge_sig: dict[tuple[int, int], str] = {}
     for pi, lines in enumerate(pages):
         nonempty = [i for i, ln in enumerate(lines) if ln[3]]
         edges = set(nonempty[:EDGE_LINES]) | set(nonempty[-EDGE_LINES:])
         page_edges.append(edges)
         for i in edges:
             sig = _DIGITS.sub("#", lines[i][3].lower())
+            edge_sig[(pi, i)] = sig  # reused by the main loop — one sub+lower per edge line
             sig_pages.setdefault(sig, set()).add(pi)
     chrome_sigs = {s for s, ps in sig_pages.items() if len(ps) >= MIN_REPEATS}
 
@@ -76,11 +78,11 @@ def reflow_pdf(raw: str) -> list[Block]:
                     paragraphs.append(cur)
                     cur = []
                 continue
-            if i in edge:
-                sig = _DIGITS.sub("#", stripped.lower())
-                if sig in chrome_sigs:
-                    continue
-            if PAGE_MARKER.match(stripped):
+            if i in edge and edge_sig[(pi, i)] in chrome_sigs:
+                continue
+            # cheap gate: PAGE_MARKER's alternatives all start with p/P, a
+            # digit, or '-' (the leading [ \t]* is vacuous on stripped text)
+            if stripped[0] in "pP0123456789-" and PAGE_MARKER.match(stripped):
                 continue
             cur.append(ln)
     if cur:
