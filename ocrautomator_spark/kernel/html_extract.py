@@ -198,12 +198,10 @@ def segment_html(raw: str) -> list[Block]:
                 in_chrome = chrome_depth > 0
             parts_append(text)
             if n_spans:
-                last_start = m.start()
-                last_end = m.end()
+                last_start, last_end = m.span()
                 n_spans += 1
             else:
-                first_start = last_start = m.start()
-                first_end = last_end = m.end()
+                first_start, first_end = last_start, last_end = m.span()
                 n_spans = 1
             if a_depth > 0:
                 n_link_chars += len(text.strip())
