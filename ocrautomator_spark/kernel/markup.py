@@ -94,17 +94,20 @@ def extract_mixed(raw: str) -> list[Block]:
         if not stripped:
             flush_para()
             continue
-        hm = _HEADING.match(stripped)
+        # first-char gates: _HEADING only matches '#', _LIST_ITEM only
+        # -,*,+ or a digit — skips two regex calls on ordinary prose lines
+        c0 = stripped[0]
+        hm = _HEADING.match(stripped) if c0 == "#" else None
         if hm:
             flush_para()
-            text = strip_inline(hm.group(2)).strip()
+            text = strip_inline(hm[2]).strip()
             if text:
                 blocks.append(_mk_block(text, s + (len(ln) - len(ln.lstrip())), e, KIND_HEADING))
             continue
-        lm = _LIST_ITEM.match(stripped)
+        lm = _LIST_ITEM.match(stripped) if c0 in "-*+0123456789" else None
         if lm:
             flush_para()
-            text = strip_inline(lm.group(1)).strip()
+            text = strip_inline(lm[1]).strip()
             if text:
                 blocks.append(_mk_block(text, s + (len(ln) - len(ln.lstrip())), e, KIND_LIST))
             continue
