@@ -810,3 +810,30 @@ def test_pq_sampled_beats_counterhash_on_near_uniform(spark):
     ) / len(exact)
     assert samp_r >= 0.8, f"sampled-codebook recall {samp_r} below the 0.8 bar"
     assert samp_r > rand_r, f"sampled {samp_r} did not beat counter-hash {rand_r}"
+
+
+def test_pq_batch_recall_and_plan(spark):
+    """Batch PQ/ADC: mean recall@10 vs the exact batch baseline ≥ 0.8 at the
+    gate scale (measured 0.98), and the ADC stage must join code columns to
+    the broadcast lookup table via equi-join — no BroadcastNestedLoopJoin
+    (the only sanctioned BNLJ in the ANN family is a constant query-set
+    broadcast, which this entry replaces with the equi-join)."""
+    import contextlib
+    import io
+
+    from ocrautomator_spark.queries import pipeline_ops as po
+
+    sf = "/root/testdata/sf0.01"
+    exact, got = {}, {}
+    for r in po.QUERIES["ann_batch_topk"](spark, sf).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    df = po.QUERIES["ann_pq_batch_topk"](spark, sf)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "BroadcastNestedLoopJoin" not in buf.getvalue()
+    for r in df.collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact]
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.8, f"batch PQ mean recall {mean}: {recalls}"
