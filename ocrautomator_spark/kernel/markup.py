@@ -104,7 +104,7 @@ def extract_mixed(raw: str) -> list[Block]:
             if text:
                 blocks.append(_mk_block(text, s + (len(ln) - len(ln.lstrip())), e, KIND_HEADING))
             continue
-        lm = _LIST_ITEM.match(stripped) if c0 in "-*+0123456789" else None
+        lm = _LIST_ITEM.match(stripped) if (c0 in "-*+" or c0.isdigit()) else None
         if lm:
             flush_para()
             text = strip_inline(lm[1]).strip()

@@ -82,7 +82,7 @@ def reflow_pdf(raw: str) -> list[Block]:
                 continue
             # cheap gate: PAGE_MARKER's alternatives all start with p/P, a
             # digit, or '-' (the leading [ \t]* is vacuous on stripped text)
-            if stripped[0] in "pP0123456789-" and PAGE_MARKER.match(stripped):
+            if (stripped[0] in "pP-" or stripped[0].isdigit()) and PAGE_MARKER.match(stripped):
                 continue
             cur.append(ln)
     if cur:

@@ -504,7 +504,7 @@ def lifecycle_compact_stats(spark: SparkSession, sf: str) -> DataFrame:
         rows = {r["bucket"]: r["n_rows"] for r in counts}
         return spark.createDataFrame(
             [
-                (m["bucket"], int(rows[m["bucket"]]), m["files_before"], m["files_after"])
+                (m["bucket"], int(rows.get(m["bucket"], 0)), m["files_before"], m["files_after"])
                 for m in manifests
             ],
             "bucket int, n_rows bigint, files_before int, files_after int",

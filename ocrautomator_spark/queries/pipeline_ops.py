@@ -823,6 +823,7 @@ def dedup_substring_excise(spark: SparkSession, sf: str) -> DataFrame:
 # — but fingerprints with a polynomial rolling hash: O(1) amortized per
 # offset, ~corpus bytes of arithmetic instead of ~64× through a digest.
 RK_P = 2147483647  # Mersenne prime 2^31 − 1: every product stays < 2^62
+_RK_CUMSUM_CHUNK = 1 << 31  # prefix-sum chunk: n·(p−1) < 2^62 per chunk (tests shrink it)
 RK_B1, RK_B2 = 1000003, 2000003  # two independent polynomial bases < p
 _RK_PW1 = [pow(RK_B1, SUBSTR_WIN - 1 - j, RK_P) for j in range(SUBSTR_WIN)]
 _RK_PW2 = [pow(RK_B2, SUBSTR_WIN - 1 - j, RK_P) for j in range(SUBSTR_WIN)]
@@ -854,7 +855,19 @@ def _rk_hash_all_offsets(cp: "np.ndarray", base: int) -> "np.ndarray":
 
     inv = pow(base, RK_P - 2, RK_P)  # p prime ⇒ base^(p−2) is its inverse
     wts = (cp % p) * pow_mod_vec(inv, np.arange(n)) % p
-    s = np.concatenate([np.zeros(1, dtype=np.uint64), np.cumsum(wts)]) % p
+    # CHUNKED prefix sum: a raw uint64 cumsum of <2^31 terms wraps mod 2^64
+    # past ~2^33 elements (a 10k-row Arrow batch of ~1 MB docs), and 2^64 is
+    # not a multiple of p, so the wrap would corrupt every later fingerprint.
+    # Chunks of 2^31 terms keep each cumsum < 2^62 + carry < 2^63, exact.
+    s = np.empty(n + 1, dtype=np.uint64)
+    s[0] = 0
+    chunk = _RK_CUMSUM_CHUNK
+    carry = np.uint64(0)
+    for off in range(0, n, chunk):
+        seg = np.cumsum(wts[off : off + chunk]) + carry
+        seg %= p
+        s[off + 1 : off + 1 + seg.size] = seg
+        carry = seg[-1]
     m = n - w + 1
     diff = (s[w:] + p - s[:m]) % p
     return pow_mod_vec(base, np.arange(w - 1, n)) * diff % p
@@ -961,7 +974,9 @@ def dedup_substring_windows_rk(spark: SparkSession, sf: str) -> DataFrame:
     false positives, disagreement only within sketch variance, measured
     recall vs passage length) is separately pinned against an exact
     driver-side ground truth by tests/test_substring_ground_truth.py."""
-    sel = _rk_sampled_keys(spark, sf).distinct()
+    # no .distinct(): rk_keys emits np.unique keys per doc, so (doc_id, k)
+    # rows are unique by construction — the extra shuffle would be a no-op
+    sel = _rk_sampled_keys(spark, sf)
     keep = (
         sel.groupBy("k").agg(F.count("*").alias("df"))
         .filter(F.col("df") <= MAX_DF)
@@ -989,6 +1004,12 @@ def _as_double(col):  # array<float> → array<double>, cast before any math
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _ssq(col):
+    """Σ x² as the same left fold as _dot — the shape is load-bearing for
+    oracle bit-parity (≡ DuckDB list_sum(list_transform(v, x -> x*x)))."""
+    return F.aggregate(F.zip_with(col, col, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
 @q(
@@ -1926,7 +1947,7 @@ def _pq_cssq() -> list[list[float]]:
 def _pq_sql() -> str:
     """DuckDB twin of ann_pq_adc_topk. The asymmetric-distance expressions
     use the IDENTICAL formula and operation order as the Spark side
-    (ssq(x) - 2*<x,c> + cssq_literal, left-fold sums), so every double is
+    (_ssq(x) - 2*<x,c> + cssq_literal, left-fold sums), so every double is
     bit-identical and the codes/ADC ranking hash-match exactly."""
     books, cssq = _pq_codebooks(), _pq_cssq()
 
@@ -1936,12 +1957,12 @@ def _pq_sql() -> str:
     def sub(vcol: str, m: int) -> str:
         return f"{vcol}[{m * PQ_SUB + 1}:{m * PQ_SUB + PQ_SUB}]"
 
-    def ssq(e: str) -> str:
+    def _ssq(e: str) -> str:
         return f"list_sum(list_transform({e}, x -> x * x))"
 
     def dist(vcol: str, m: int, k: int) -> str:
         return (
-            f"({ssq(sub(vcol, m))} - 2 * list_inner_product({sub(vcol, m)}, {lit(books[m][k])})"
+            f"({_ssq(sub(vcol, m))} - 2 * list_inner_product({sub(vcol, m)}, {lit(books[m][k])})"
             f" + {repr(cssq[m][k])})"
         )
 
@@ -1951,7 +1972,7 @@ def _pq_sql() -> str:
     )
     code_cols = ", ".join(f"list_position(d{m}, list_min(d{m})) AS code{m}" for m in range(PQ_M))
     adc_terms = " + ".join(
-        f"({ssq(sub('qv', m))} - 2 * list_inner_product({sub('qv', m)}, "
+        f"({_ssq(sub('qv', m))} - 2 * list_inner_product({sub('qv', m)}, "
         f"[{', '.join(lit(c) for c in books[m])}][code{m}])"
         f" + {lit(cssq[m])}[code{m}])"
         for m in range(PQ_M)
@@ -1990,7 +2011,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     Codebooks are deterministic counter-hash constants (``_pq_codebooks``),
     so encode/ADC/re-rank are all hash-gated end to end by inlining the
     constants into the oracle (the _ANN_LSH_SQL trick) — distances use the
-    identical ssq(x) - 2·<x,c> + ||c||² expansion with engine-proven fold
+    identical _ssq(x) - 2·<x,c> + ||c||² expansion with engine-proven fold
     primitives, making every double bit-identical. Codes are computed
     in-query here; production precomputes them once at ingest and the query
     path never touches the raw vectors until the re-rank.
@@ -2004,11 +2025,6 @@ def ann_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     test in tests/test_pipeline_ops_units.py)."""
     books, cssq = _pq_codebooks(), _pq_cssq()
 
-    def ssq(col):
-        return F.aggregate(
-            F.zip_with(col, col, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-        )
-
     def sub(col, m: int):
         return F.slice(col, m * PQ_SUB + 1, PQ_SUB)
 
@@ -2018,7 +2034,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
     for m in range(PQ_M):
         dists = F.array(
             *[
-                ssq(sub(F.col("v"), m))
+                _ssq(sub(F.col("v"), m))
                 - F.lit(2) * _dot(sub(F.col("v"), m), F.array(*[F.lit(x) for x in books[m][k]]))
                 + F.lit(cssq[m][k])
                 for k in range(PQ_K)
@@ -2034,7 +2050,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf: str) -> DataFrame:
         cents_lit = F.array(*[F.array(*[F.lit(x) for x in ck]) for ck in books[m]])
         cssq_lit = F.array(*[F.lit(x) for x in cssq[m]])
         term = (
-            ssq(sub(F.col("qv"), m))
+            _ssq(sub(F.col("qv"), m))
             - F.lit(2) * _dot(sub(F.col("qv"), m), F.element_at(cents_lit, F.col(f"code{m}").cast("int")))
             + F.element_at(cssq_lit, F.col(f"code{m}").cast("int"))
         )
@@ -2073,7 +2089,7 @@ def _pq2_sampled_sql() -> str:
     def sub(v: str, m: str) -> str:
         return f"{v}[{m}*{s}+1 : {m}*{s}+{s}]"
 
-    def ssq(e: str) -> str:
+    def _ssq(e: str) -> str:
         return f"list_sum(list_transform({e}, x -> x * x))"
 
     code_cols = ", ".join(
@@ -2089,17 +2105,17 @@ def _pq2_sampled_sql() -> str:
                FROM embeddings),
     smp AS (SELECT v, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS k
             FROM e QUALIFY k <= {PQ2_K}),
-    cb AS (SELECT m, k, {sub('v', 'm')} AS c, {ssq(sub('v', 'm'))} AS cssq
+    cb AS (SELECT m, k, {sub('v', 'm')} AS c, {_ssq(sub('v', 'm'))} AS cssq
            FROM smp, UNNEST(generate_series(0, {PQ_M - 1})) AS u(m)),
-    ev AS (SELECT vec_id, m, {sub('v', 'm')} AS sv, {ssq(sub('v', 'm'))} AS ssq
+    ev AS (SELECT vec_id, m, {sub('v', 'm')} AS sv, {_ssq(sub('v', 'm'))} AS ssq
            FROM e, UNNEST(generate_series(0, {PQ_M - 1})) AS u(m)),
     dj AS (SELECT ev.vec_id, ev.m, cb.k,
                   (ev.ssq - 2 * list_inner_product(ev.sv, cb.c) + cb.cssq) AS dist
            FROM ev JOIN cb ON ev.m = cb.m),
     codes AS (SELECT vec_id, {code_cols} FROM dj GROUP BY vec_id),
-    q AS (SELECT v AS qv, sqrt({ssq('v')}) AS qn FROM e WHERE vec_id = {ANN_QUERY_ID}),
+    q AS (SELECT v AS qv, sqrt({_ssq('v')}) AS qn FROM e WHERE vec_id = {ANN_QUERY_ID}),
     dt AS (SELECT cb.m, cb.k,
-                  ({ssq(sub('q.qv', 'cb.m'))} - 2 * list_inner_product({sub('q.qv', 'cb.m')}, cb.c)
+                  ({_ssq(sub('q.qv', 'cb.m'))} - 2 * list_inner_product({sub('q.qv', 'cb.m')}, cb.c)
                    + cb.cssq) AS d
            FROM cb, q),
     dtl AS (SELECT m, list(d ORDER BY k) AS dl FROM dt GROUP BY m),
@@ -2110,10 +2126,10 @@ def _pq2_sampled_sql() -> str:
              ORDER BY adc, vec_id LIMIT {PQ2_CAND})
     SELECT cand.vec_id,
            round(list_inner_product(cand.v, q.qv)
-                 / (sqrt({ssq('cand.v')}) * q.qn), 4) AS cosine,
+                 / (sqrt({_ssq('cand.v')}) * q.qn), 4) AS cosine,
            round(adc, 4) AS adc_dist
     FROM cand, q
-    ORDER BY list_inner_product(cand.v, q.qv) / (sqrt({ssq('cand.v')}) * q.qn) DESC,
+    ORDER BY list_inner_product(cand.v, q.qv) / (sqrt({_ssq('cand.v')}) * q.qn) DESC,
              cand.vec_id
     LIMIT {ANN_K}
     """
@@ -2170,14 +2186,11 @@ def _pq2_codes(spark: SparkSession, e: DataFrame):
         ).alias("s"),
     ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
 
-    def ssq(col):
-        return F.aggregate(F.zip_with(col, col, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-
     dj = ev.join(F.broadcast(cb), "m").select(
         "vec_id",
         "m",
         "k",
-        (ssq(F.col("sv")) - F.lit(2) * _dot(F.col("sv"), F.col("c")) + F.col("cssq")).alias("dist"),
+        (_ssq(F.col("sv")) - F.lit(2) * _dot(F.col("sv"), F.col("c")) + F.col("cssq")).alias("dist"),
     )
     # one vec_id shuffle: conditional min over [dist, k] is argmin with the
     # deterministic k tie-break (distances are bit-identical across engines)
@@ -2236,9 +2249,6 @@ def ann_pq_sampled_topk(spark: SparkSession, sf: str) -> DataFrame:
     qrow = e.filter(F.col("vec_id") == ANN_QUERY_ID).collect()[0]
     qv = list(qrow["v"])
     dt = _pq2_query_tables(qv, books, cssqs)
-
-    def ssq(col):
-        return F.aggregate(F.zip_with(col, col, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
     adc = None
     for m in range(PQ_M):  # fixed m order = the oracle's + chain
         term = F.element_at(
@@ -2256,7 +2266,7 @@ def ann_pq_sampled_topk(spark: SparkSession, sf: str) -> DataFrame:
     rer = e.join(F.broadcast(cand), "vec_id")
     qv_lit = F.array(*[F.lit(x) for x in qv])
     qn_lit = F.sqrt(F.lit(_pq2_pyssq(qv)))
-    cos = _dot(F.col("v"), qv_lit) / (F.sqrt(ssq(F.col("v"))) * qn_lit)
+    cos = _dot(F.col("v"), qv_lit) / (F.sqrt(_ssq(F.col("v"))) * qn_lit)
     return (
         rer.withColumn("cos_raw", cos)
         .orderBy(F.col("cos_raw").desc(), F.col("vec_id"))
@@ -2278,7 +2288,7 @@ def _pq2_batch_sql() -> str:
     def sub(v: str, m: str) -> str:
         return f"{v}[{m}*{s}+1 : {m}*{s}+{s}]"
 
-    def ssq(e: str) -> str:
+    def _ssq(e: str) -> str:
         return f"list_sum(list_transform({e}, x -> x * x))"
 
     code_cols = ", ".join(
@@ -2291,18 +2301,18 @@ def _pq2_batch_sql() -> str:
                FROM embeddings),
     smp AS (SELECT v, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS k
             FROM e QUALIFY k <= {PQ2_K}),
-    cb AS (SELECT m, k, {sub('v', 'm')} AS c, {ssq(sub('v', 'm'))} AS cssq
+    cb AS (SELECT m, k, {sub('v', 'm')} AS c, {_ssq(sub('v', 'm'))} AS cssq
            FROM smp, UNNEST(generate_series(0, {PQ_M - 1})) AS u(m)),
-    ev AS (SELECT vec_id, m, {sub('v', 'm')} AS sv, {ssq(sub('v', 'm'))} AS ssq
+    ev AS (SELECT vec_id, m, {sub('v', 'm')} AS sv, {_ssq(sub('v', 'm'))} AS ssq
            FROM e, UNNEST(generate_series(0, {PQ_M - 1})) AS u(m)),
     dj AS (SELECT ev.vec_id, ev.m, cb.k,
                   (ev.ssq - 2 * list_inner_product(ev.sv, cb.c) + cb.cssq) AS dist
            FROM ev JOIN cb ON ev.m = cb.m),
     codes AS (SELECT vec_id, {code_cols} FROM dj GROUP BY vec_id),
-    qs AS (SELECT vec_id AS qid, v AS qv, sqrt({ssq('v')}) AS qn FROM e
+    qs AS (SELECT vec_id AS qid, v AS qv, sqrt({_ssq('v')}) AS qn FROM e
            WHERE vec_id < {ANN_BATCH_QUERIES}),
     dt AS (SELECT qs.qid, cb.m, cb.k,
-                  ({ssq(sub('qs.qv', 'cb.m'))} - 2 * list_inner_product({sub('qs.qv', 'cb.m')}, cb.c)
+                  ({_ssq(sub('qs.qv', 'cb.m'))} - 2 * list_inner_product({sub('qs.qv', 'cb.m')}, cb.c)
                    + cb.cssq) AS d
            FROM cb, qs),
     cl AS (SELECT vec_id, m, CAST(CASE m {code_case} END AS INT) AS code
@@ -2316,10 +2326,10 @@ def _pq2_batch_sql() -> str:
                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rc
              FROM a QUALIFY rc <= {PQ2_CAND}),
     rr AS (SELECT cand.qid AS query_id, cand.vec_id,
-                  list_inner_product(e.v, qs.qv) / (sqrt({ssq('e.v')}) * qs.qn) AS cos,
+                  list_inner_product(e.v, qs.qv) / (sqrt({_ssq('e.v')}) * qs.qn) AS cos,
                   ROW_NUMBER() OVER (
                     PARTITION BY cand.qid
-                    ORDER BY list_inner_product(e.v, qs.qv) / (sqrt({ssq('e.v')}) * qs.qn) DESC,
+                    ORDER BY list_inner_product(e.v, qs.qv) / (sqrt({_ssq('e.v')}) * qs.qn) DESC,
                              cand.vec_id) AS rnk
            FROM cand JOIN e USING (vec_id) JOIN qs ON qs.qid = cand.qid)
     SELECT query_id, vec_id, round(cos, 4) AS cosine, CAST(rnk AS INT) AS rnk
@@ -2391,13 +2401,10 @@ def ann_pq_batch_topk(spark: SparkSession, sf: str) -> DataFrame:
         "qid long, qv array<double>, qn double",
     )
 
-    def ssq(col):
-        return F.aggregate(F.zip_with(col, col, lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x)
-
     rer = (
         e.join(F.broadcast(cand.select("vec_id", "qid", "adc")), "vec_id")
         .join(F.broadcast(qs), "qid")
-        .withColumn("cos", _dot(F.col("v"), F.col("qv")) / (F.sqrt(ssq(F.col("v"))) * F.col("qn")))
+        .withColumn("cos", _dot(F.col("v"), F.col("qv")) / (F.sqrt(_ssq(F.col("v"))) * F.col("qn")))
     )
     wr = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (

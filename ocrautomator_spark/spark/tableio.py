@@ -41,7 +41,7 @@ class ParquetManifestIO:
         for p in self.manifest_dir.glob("bucket-*.json"):
             try:
                 out.add(int(json.loads(p.read_text())["bucket"]))
-            except (ValueError, KeyError, json.JSONDecodeError):
+            except (ValueError, KeyError, TypeError, json.JSONDecodeError):
                 continue  # torn write never counts as committed
         return out
 
@@ -95,7 +95,7 @@ class ParquetManifestIO:
                 m = json.loads(p.read_text())
                 m["bucket"]  # noqa: B018 - key presence check
                 m["path"]
-            except (ValueError, KeyError, json.JSONDecodeError):
+            except (ValueError, KeyError, TypeError, json.JSONDecodeError):
                 continue  # torn write never counts as committed
             out.append(m)
         return sorted(out, key=lambda m: m["bucket"])

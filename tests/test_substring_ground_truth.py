@@ -147,7 +147,7 @@ def test_mod_sampler_recall_vs_passage_length(spark, tmp_path):
             a, b = next_id, next_id + 1
             # ids never ≡ 0 (mod PLANT_MOD) and docs < _SUBSTR_MIN_BASE chars,
             # so the corpus helper's own planting stays inert
-            if a % SUBSTR_PLANT_MOD == 0 or b % SUBSTR_PLANT_MOD == 0:
+            while a % SUBSTR_PLANT_MOD == 0 or b % SUBSTR_PLANT_MOD == 0:
                 next_id += 1
                 a, b = next_id, next_id + 1
             next_id = b + 1
@@ -175,3 +175,28 @@ def test_mod_sampler_recall_vs_passage_length(spark, tmp_path):
                 f"{qname} L={length}: recall {rate:.3f} vs expected "
                 f"{expect:.3f} ± {5 * sigma:.3f}"
             )
+
+
+def test_rk_chunked_prefix_sum_seam():
+    """The rolling-hash prefix sum is chunked so a >2^33-char Arrow batch
+    cannot wrap uint64 (review finding r5): shrink the chunk size and verify
+    hashes crossing many chunk seams equal the unchunked result and the
+    direct window-sum definition."""
+    import numpy as np
+
+    import ocrautomator_spark.queries.pipeline_ops as po
+
+    rng = np.random.default_rng(11)
+    cp = rng.integers(32, 0x10FFF, size=5000).astype(np.uint64)
+    ref = po._rk_hash_all_offsets(cp, po.RK_B1)  # single-chunk path
+    old = po._RK_CUMSUM_CHUNK
+    try:
+        po._RK_CUMSUM_CHUNK = 257  # prime-ish, far from any alignment
+        seamed = po._rk_hash_all_offsets(cp, po.RK_B1)
+    finally:
+        po._RK_CUMSUM_CHUNK = old
+    assert np.array_equal(ref, seamed)
+    pw = [pow(po.RK_B1, po.SUBSTR_WIN - 1 - j, po.RK_P) for j in range(po.SUBSTR_WIN)]
+    for i in (0, 255, 256, 257, 258, 1027, 4936):
+        direct = sum(int(cp[i + j]) * pw[j] for j in range(po.SUBSTR_WIN)) % po.RK_P
+        assert int(ref[i]) == direct
