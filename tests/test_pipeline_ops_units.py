@@ -837,3 +837,31 @@ def test_pq_batch_recall_and_plan(spark):
     recalls = [len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact]
     mean = sum(recalls) / len(recalls)
     assert mean >= 0.8, f"batch PQ mean recall {mean}: {recalls}"
+
+
+def test_substring_spans_rk_cover_planted_passage(spark):
+    """The RK production path of the span view localizes the same plants as
+    the md5 view: every planted twin's duplicated span sits inside its
+    copied region, the base doc's span reaches the passage, and the md5 and
+    RK views agree on the planted DOC SET (extents may differ by one
+    inter-sample gap — different hash families sample different windows of
+    the same run)."""
+    from ocrautomator_spark.queries import pipeline_ops as po
+
+    sf_dir = "/root/testdata/sf0.001"
+    rk = {r["doc_id"]: r for r in po.QUERIES["dedup_substring_spans_rk"](spark, sf_dir).collect()}
+    md5v = {r["doc_id"]: r for r in po.QUERIES["dedup_substring_spans"](spark, sf_dir).collect()}
+    rk_planted = {d for d in rk if d < 0}
+    md5_planted = {d for d in md5v if d < 0}
+    assert rk_planted == md5_planted, (
+        f"planted doc sets diverge: {rk_planted ^ md5_planted}"
+    )
+    assert len(rk_planted) >= 10
+    head = len("zqplant-head ")
+    for pid in rk_planted:
+        r = rk[pid]
+        assert r["dup_start"] >= 1
+        assert r["dup_end"] <= head + po.SUBSTR_PLANT_LEN + po.SUBSTR_WIN
+        base_id = -pid - 1
+        if base_id in rk:
+            assert rk[base_id]["dup_end"] >= po.SUBSTR_PLANT_OFF
