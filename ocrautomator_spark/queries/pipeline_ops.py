@@ -1037,10 +1037,10 @@ def dedup_substring_windows_rk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@q(
-    "dedup_substring_spans_rk",
-    f"""
-    WITH {_SUBSTR_EL_SQL},
+# shared SQL suffix: matched RK-sampled windows (doc_id, i) — the rolling-
+# hash twin of _SUBSTR_MATCH_SQL, used by the rk span and excise views
+def _substr_rk_match_sql() -> str:
+    return f"""
     w AS (SELECT doc_id, i,
             list_sum(list_transform(generate_series(0,{SUBSTR_WIN - 1}),
               j -> (CAST(unicode(substring(t, i+j, 1)) AS BIGINT) * {_rk_pw_sql(_RK_PW1)}[j+1]) % {RK_P})) % {RK_P} AS h1,
@@ -1052,6 +1052,28 @@ def dedup_substring_windows_rk(spark: SparkSession, sf: str) -> DataFrame:
     hs AS (SELECT k, COUNT(DISTINCT doc_id) AS nd FROM sel GROUP BY k),
     keep AS (SELECT k FROM hs WHERE nd >= 2 AND nd <= {MAX_DF}),
     m AS (SELECT sel.doc_id, sel.i FROM sel JOIN keep USING (k))
+"""
+
+
+def _rk_matched_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, i) of every RK-sampled window whose content occurs in 2..
+    MAX_DF distinct documents — the production twin of
+    ``_substring_matched_windows``."""
+    sel = _rk_sampled_windows(spark, sf)
+    keep = (
+        sel.groupBy("k")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= MAX_DF))
+        .select("k")
+    )
+    return sel.join(keep, "k").select("doc_id", "i")
+
+
+@q(
+    "dedup_substring_spans_rk",
+    f"""
+    WITH {_SUBSTR_EL_SQL},
+    {_substr_rk_match_sql()}
     SELECT doc_id, COUNT(*) AS n_dup_windows,
            MIN(i) AS dup_start, MAX(i) + {SUBSTR_WIN - 1} AS dup_end
     FROM m GROUP BY doc_id
@@ -1070,15 +1092,8 @@ def dedup_substring_spans_rk(spark: SparkSession, sf: str) -> DataFrame:
     different window subsets of the same duplicated run — both are correct
     localizations of the same passages; the planted-coverage test pins
     that. Fully hash-oracled via the direct-window-sum SQL twin."""
-    sel = _rk_sampled_windows(spark, sf)
-    keep = (
-        sel.groupBy("k")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter((F.col("nd") >= 2) & (F.col("nd") <= MAX_DF))
-        .select("k")
-    )
     return (
-        sel.join(keep, "k")
+        _rk_matched_windows(spark, sf)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_dup_windows"),
@@ -1086,6 +1101,59 @@ def dedup_substring_spans_rk(spark: SparkSession, sf: str) -> DataFrame:
             (F.max("i") + (SUBSTR_WIN - 1)).alias("dup_end"),
         )
         .filter(F.col("n_dup_windows") >= SUBSTR_MIN_SHARED)
+    )
+
+
+@q(
+    "dedup_substring_excise_rk",
+    f"""
+    WITH {_SUBSTR_EL_SQL},
+    {_substr_rk_match_sql()},
+    sp AS (SELECT doc_id, MIN(i) AS s, MAX(i) + {SUBSTR_WIN - 1} AS e
+           FROM m GROUP BY doc_id HAVING COUNT(*) >= {SUBSTR_MIN_SHARED})
+    SELECT c.doc_id,
+           CAST(CASE WHEN sp.doc_id IS NULL THEN 0 ELSE sp.e - sp.s + 1 END AS BIGINT)
+             AS n_chars_removed,
+           md5(CASE WHEN sp.doc_id IS NULL THEN c.t
+                    ELSE substring(c.t, 1, sp.s - 1) || substring(c.t, sp.e + 1) END)
+             AS clean_hash
+    FROM corpus c LEFT JOIN sp USING (doc_id)
+    """,
+)
+def dedup_substring_excise_rk(spark: SparkSession, sf: str) -> DataFrame:
+    """PRODUCTION path of the excision itself — the Rabin-Karp twin of
+    ``dedup_substring_excise``: detect (rolling-hash mod-sampled windows) →
+    localize (span extent) → remove (string surgery), with every document
+    returned and the cleaned text md5-gated byte-for-byte. Same scan-cost
+    story as the other rk views; the cut extents can differ from the md5
+    view by one inter-sample gap, and the oracle gates THIS view's exact
+    surgery, making both paths independently verified end to end."""
+    corpus = _substring_corpus(spark, sf, eligible_only=False)
+    sp = (
+        _rk_matched_windows(spark, sf)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("nw"),
+            F.min("i").alias("s"),
+            (F.max("i") + (SUBSTR_WIN - 1)).alias("e"),
+        )
+        .filter(F.col("nw") >= SUBSTR_MIN_SHARED)
+        .select("doc_id", "s", "e")
+    )
+    j = corpus.join(sp, "doc_id", "left")
+    clean = F.when(F.col("s").isNull(), F.col("t")).otherwise(
+        F.concat(
+            F.col("t").substr(F.lit(1), F.col("s") - 1),
+            F.col("t").substr(F.col("e") + 1, F.length("t")),
+        )
+    )
+    removed = F.when(F.col("s").isNull(), F.lit(0)).otherwise(
+        F.col("e") - F.col("s") + 1
+    )
+    return j.select(
+        "doc_id",
+        removed.cast("bigint").alias("n_chars_removed"),
+        F.md5(F.encode(clean, "utf-8")).alias("clean_hash"),
     )
 
 

@@ -136,7 +136,7 @@ def test_substring_dedup_plans_have_no_quadratic_join(spark):
     shingle-hash equi-join (pair view) or a pure aggregate (span view) —
     never a cartesian/BNLJ; and the span view must contain NO join between
     corpus-sized relations beyond the semi-join back to the kept hashes."""
-    for name in ("dedup_substring_windows", "dedup_substring_spans", "dedup_substring_windows_rk", "dedup_substring_spans_rk"):
+    for name in ("dedup_substring_windows", "dedup_substring_spans", "dedup_substring_windows_rk", "dedup_substring_spans_rk", "dedup_substring_excise_rk"):
         plan = _plan(POQ[name](spark, SF_DIR))
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "Cartesian" not in plan, name
