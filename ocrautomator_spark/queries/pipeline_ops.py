@@ -1019,9 +1019,14 @@ def dedup_substring_windows_rk(spark: SparkSession, sf: str) -> DataFrame:
     false positives, disagreement only within sketch variance, measured
     recall vs passage length) is separately pinned against an exact
     driver-side ground truth by tests/test_substring_ground_truth.py."""
-    # no .distinct(): rk_keys emits np.unique keys per doc, so (doc_id, k)
-    # rows are unique by construction — the extra shuffle would be a no-op
-    sel = _rk_sampled_keys(spark, sf)
+    # rk_keys emits np.unique keys per doc, so (doc_id, k) is unique by
+    # construction and needs no distinct — but the scan DOES need a
+    # materialization barrier: three consumers (DF-guard, both self-join
+    # sides) would otherwise re-run the pandas-UDF scan 3x (the r4
+    # .distinct() was accidentally serving as a reused exchange; measured
+    # 6.7s vs 3.1s without a barrier at sf0.1). localCheckpoint is the
+    # established idiom (see dedup_minhash banding).
+    sel = _rk_sampled_keys(spark, sf).localCheckpoint()
     keep = (
         sel.groupBy("k").agg(F.count("*").alias("df"))
         .filter(F.col("df") <= MAX_DF)
@@ -1059,7 +1064,9 @@ def _rk_matched_windows(spark: SparkSession, sf: str) -> DataFrame:
     """(doc_id, i) of every RK-sampled window whose content occurs in 2..
     MAX_DF distinct documents — the production twin of
     ``_substring_matched_windows``."""
-    sel = _rk_sampled_windows(spark, sf)
+    # localCheckpoint: two consumers (DF-guard + match join) of the
+    # pandas-UDF scan — same barrier rationale as the pair view
+    sel = _rk_sampled_windows(spark, sf).localCheckpoint()
     keep = (
         sel.groupBy("k")
         .agg(F.countDistinct("doc_id").alias("nd"))
