@@ -306,14 +306,44 @@ def agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@q("agg_approx")  # nondeterministic vs oracle → rows-only check by design
+@q(
+    "agg_approx",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users_exact,
+           1 AS within_tol
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx(spark: SparkSession, sf: str) -> DataFrame:
     """HLL++ approximate distinct — the scale path when exact distinct's
-    shuffle is the bottleneck; rsd=0.02 keeps it within ±2%."""
+    shuffle is the bottleneck; rsd=0.02 keeps it within ±2%.
+
+    Driver-gate contract (VERDICT r5 item 6): the HLL estimate itself has no
+    DuckDB twin (different sketch), so the gated output is (a) the exact
+    distinct count and (b) ``within_tol`` = 1 iff the HLL estimate is within
+    10% (= 5·rsd, the bound the in-repo 5σ accuracy test already pins) of the
+    exact count. The approximate path still RUNS — the flag is derived from
+    the estimate — and any HLL regression past 5σ flips the flag and fails
+    the hash gate. The oracle's ``1`` is therefore a real assertion, not a
+    constant-by-construction."""
+    est = F.approx_count_distinct("user_id", rsd=0.02)
+    exact = F.countDistinct("user_id")
     return (
         T(spark, sf, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .agg(est.alias("approx_users"), exact.alias("n_users_exact"))
+        .select(
+            "event_type",
+            "n_users_exact",
+            F.when(
+                F.abs(F.col("approx_users") - F.col("n_users_exact"))
+                <= 0.10 * F.col("n_users_exact"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("within_tol"),
+        )
     )
 
 

@@ -14,7 +14,8 @@ Spark lifecycle (§3.2), one Python crossing total:
                                             cross zero-copy, spans are built as
                                             vectorized ListArray/StructArray)
       → sortWithinPartitions(conv_id, turn_idx)   (A7: stable turn ordering)
-      → [caller writes + commits manifest]  (A8/A10, see checkpoint.py)
+      → [caller writes + commits manifest]  (A8/A10, see spark/pipeline.py +
+                                            spark/tableio.py ParquetManifestIO)
 
 Lineage/metrics columns (extractor_version, partition_id, batch_latency_ms,
 char counts) ride along with every row — the columnar rebuild of the

@@ -54,9 +54,25 @@ def _rows_to_canonical(col_names, rows):
 
 @pytest.mark.parametrize("name", sorted(ORACLES.keys()))
 def test_oracle_parity(spark, ddb, name):
-    sdf = QUERIES[name](spark, SF_DIR)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    from ocrautomator_spark.queries.pipeline_ops import MINHASH_ORACLE_ENV, MINHASH_ORACLE_ONLY
+
+    # the minhash entries default to the xxhash64 production hash (r6 gate
+    # inversion); their registered md5-twin oracle is only valid in oracle
+    # mode, so this gate — and only this gate — opts in
+    oracle_mode = name in MINHASH_ORACLE_ONLY
+    prior = os.environ.get(MINHASH_ORACLE_ENV)
+    if oracle_mode:
+        os.environ[MINHASH_ORACLE_ENV] = "1"
+    try:
+        sdf = QUERIES[name](spark, SF_DIR)
+        spark_cols = sdf.columns
+        spark_rows = [tuple(r) for r in sdf.collect()]
+    finally:
+        if oracle_mode:
+            if prior is None:
+                os.environ.pop(MINHASH_ORACLE_ENV, None)
+            else:
+                os.environ[MINHASH_ORACLE_ENV] = prior
 
     res = ddb.execute(ORACLES[name])
     duck_cols = [d[0] for d in res.description]

@@ -740,25 +740,26 @@ def test_substring_spans_cover_planted_passage(spark):
 
 
 def test_minhash_fast_mode_pair_set_agreement(spark):
-    """VERDICT r4 item 2: the env-gated xxhash64 production hash and the md5
-    oracle hash must emit the same candidate pair SET for both minhash
-    entries at the gate scale (estimates may differ — different base hash,
-    different min-wise samples — but detection must agree; measured
-    identical at sf0.001 and sf0.01). The parity gate always runs md5 mode;
-    this is the fast path's correctness anchor."""
+    """VERDICT r4 item 2, gate inverted per r5 item 3: the DEFAULT xxhash64
+    production hash and the SPARK_GRAFT_MINHASH_ORACLE=1 md5 oracle hash
+    must emit the same candidate pair SET for both minhash entries at the
+    gate scale (estimates may differ — different base hash, different
+    min-wise samples — but detection must agree; measured identical at
+    sf0.001 and sf0.01). The parity gate opts into md5 mode around the two
+    minhash entries; this is the fast default's correctness anchor."""
     import os
 
-    from ocrautomator_spark.queries.pipeline_ops import MINHASH_FAST_ENV, QUERIES
+    from ocrautomator_spark.queries.pipeline_ops import MINHASH_ORACLE_ENV, QUERIES
 
     sf = os.environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
-    assert os.environ.get(MINHASH_FAST_ENV) != "1", "parity env leaked into tests"
+    assert os.environ.get(MINHASH_ORACLE_ENV) != "1", "oracle env leaked into tests"
     for name in ("dedup_minhash_lsh", "dedup_minhash_weighted"):
-        slow = {(r.doc_a, r.doc_b) for r in QUERIES[name](spark, sf).collect()}
-        os.environ[MINHASH_FAST_ENV] = "1"
+        fast = {(r.doc_a, r.doc_b) for r in QUERIES[name](spark, sf).collect()}
+        os.environ[MINHASH_ORACLE_ENV] = "1"
         try:
-            fast = {(r.doc_a, r.doc_b) for r in QUERIES[name](spark, sf).collect()}
+            slow = {(r.doc_a, r.doc_b) for r in QUERIES[name](spark, sf).collect()}
         finally:
-            del os.environ[MINHASH_FAST_ENV]
+            del os.environ[MINHASH_ORACLE_ENV]
         assert slow == fast, f"{name}: pair sets diverge: {slow ^ fast}"
         assert slow, f"{name}: vacuous gate — no pairs detected"
 

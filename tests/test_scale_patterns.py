@@ -128,22 +128,33 @@ def test_dpp_query_entry_plan_prunes(spark):
 
 
 def test_agg_approx_within_error_bound(spark):
-    """agg_approx is the one gate key without a value oracle (HLL sketches
-    have no DuckDB twin) — pin its accuracy instead: per event_type,
-    |approx - exact| <= 5 * rsd * exact at the driver's gate scale. HLL++'s
-    rsd=0.02 is a standard-deviation bound, so 5 sigma is conservatively
-    loose while still catching any real regression (a broken sketch is off
-    by orders of magnitude, not percent)."""
-    from ocrautomator_spark.queries.relational import QUERIES as RQ
+    """HLL accuracy pin (r5 VERDICT item 6 reshaped the gated output): the
+    raw estimate must stay within 5 * rsd * exact per event_type, and the
+    query's driver-gated ``within_tol`` flag (|approx-exact| <= 10% = the
+    same 5-sigma bound) must be 1 everywhere. HLL++'s rsd=0.02 is a
+    standard-deviation bound, so 5 sigma is conservatively loose while
+    still catching any real regression (a broken sketch is off by orders
+    of magnitude, not percent)."""
+    from pyspark.sql import functions as F
+
+    from ocrautomator_spark.queries.relational import QUERIES as RQ, T
 
     sf = "/root/testdata/sf0.01"
-    approx = {r["event_type"]: r["approx_users"] for r in RQ["agg_approx"](spark, sf).collect()}
+    raw = (
+        T(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+    )
+    approx = {r["event_type"]: r["approx_users"] for r in raw.collect()}
     exact = {r["event_type"]: r["n_users"] for r in RQ["agg_distinct"](spark, sf).collect()}
     assert set(approx) == set(exact)
     for et, ex in exact.items():
         assert abs(approx[et] - ex) <= 5 * 0.02 * ex, (
             f"{et}: approx {approx[et]} vs exact {ex} outside 5*rsd bound"
         )
+    gated = RQ["agg_approx"](spark, sf).collect()
+    assert gated and all(r["within_tol"] == 1 for r in gated)
+    assert {r["event_type"]: r["n_users_exact"] for r in gated} == exact
 
 
 def test_aqe_skew_join_splits_hot_partition(spark, tmp_path):
