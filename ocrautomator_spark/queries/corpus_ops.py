@@ -159,6 +159,7 @@ def streaming_dedup_incremental(
             io.write_bucket(snap_fp, 0, "snapshot-seed")
         snap = io.read(spark)  # the committed fingerprint index
 
+        stream_was_default = stream is None
         if stream is None:
             d = stream_link_dir(f"{sf}/documents.parquet", prefix="ocras_incstream")
             schema = StructType(
@@ -207,8 +208,13 @@ def streaming_dedup_incremental(
             first_arrival_wins, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
         # run_to_memory materializes into the in-memory sink table, so the
-        # result survives the scratch store's teardown
-        return run_to_memory(ded, "update")
+        # result survives the scratch store's teardown. The batch oracle
+        # (global arg-min per fingerprint) matches first-arrival-wins
+        # streaming semantics ONLY when the default file source lands the
+        # whole input in one microbatch — pin that assumption so a trigger
+        # change fails loudly, not as a parity mystery (ADVICE r5). Caller-
+        # supplied streams (the continuation test) legitimately multi-batch.
+        return run_to_memory(ded, "update", expect_single_batch=stream_was_default)
     finally:
         if store_root is None:
             shutil.rmtree(scratch, ignore_errors=True)

@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -80,13 +81,32 @@ def run_to_memory(
     stream_df: DataFrame,
     output_mode: str,
     transform_done: Callable[[DataFrame], DataFrame] | None = None,
+    expect_single_batch: bool = False,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink; return the
-    sink contents as a batch DataFrame (optionally post-transformed)."""
+    sink contents as a batch DataFrame (optionally post-transformed).
+
+    ``expect_single_batch`` pins a caller's oracle contract (ADVICE r5): some
+    entries register a BATCH SQL oracle whose semantics match the stream only
+    when the whole input lands in one microbatch (e.g. global arg-min vs
+    first-arrival-wins). Passing True turns a future trigger-config change
+    (maxFilesPerTrigger etc.) into an explicit contract error here instead of
+    a mysterious parity diff downstream."""
     name = f"sink_{uuid.uuid4().hex[:10]}"
     query = stream_df.writeStream.format("memory").queryName(name).outputMode(output_mode).start()
     try:
         query.processAllAvailable()
+        if expect_single_batch:
+            n_data_batches = sum(
+                1 for p in query.recentProgress if p.get("numInputRows", 0) > 0
+            )
+            if n_data_batches > 1:
+                raise AssertionError(
+                    f"single-microbatch oracle contract violated: {n_data_batches} "
+                    "data-bearing microbatches processed — the registered batch "
+                    "oracle (global arg-min) only matches first-arrival-wins "
+                    "streaming semantics when the input lands in ONE microbatch"
+                )
     finally:
         query.stop()
     out = stream_df.sparkSession.table(name)
@@ -217,10 +237,14 @@ def stateful_sessionize(
     microbatches (true for the file source's ascending file names). Events
     that violate it (t < the carried state's last_t) are DROPPED, not
     silently folded into the open session. Duplicate delivery is guarded at
-    the state boundary too: the carried state tracks the last folded
-    event_id, and an exact replay (same t as the state's last_t with
-    event_id ≤ the one already folded — a redelivered retry) is dropped
-    rather than inflating n_events. Within-batch duplicates are NOT deduped
+    the state boundary too: the carried state tracks the SET of event_ids
+    folded at its last timestamp, and an exact replay (same t as the state's
+    last_t with an event_id already in that set — a redelivered retry) is
+    dropped rather than inflating n_events, while a genuinely DISTINCT event
+    sharing the carried timestamp (same-t events split across microbatches
+    in any id order) is folded normally. The set is bounded by the number of
+    events a single user emits within one microsecond — O(1) in any real
+    stream. Within-batch duplicates are NOT deduped
     (the batch oracle counts every row); dedupe by event_id upstream
     (streaming_dedup) for at-least-once sources."""
     import pandas as pd
@@ -242,7 +266,7 @@ def stateful_sessionize(
             StructField("sess", LongType(), True),
             StructField("start", LongType(), True),
             StructField("n", LongType(), True),
-            StructField("last_eid", LongType(), True),
+            StructField("eids_at_last_t", ArrayType(LongType()), True),
         ]
     )
 
@@ -252,27 +276,33 @@ def stateful_sessionize(
             return
         pdf = pdf.sort_values(["t", "event_id"])
         if state.exists:
-            last_t, sess, start, n, last_eid = state.get
+            last_t, sess, start, n, eids_at_last_t = state.get
+            folded = set(eids_at_last_t or [])
             # Boundary contract: the source must deliver per-user batches in
             # event-time order (the file source guarantees it via ascending
             # file names/mtimes). An event OLDER than the carried state would
             # otherwise silently extend or corrupt the open session — drop it
             # instead, the stateful analogue of a watermark discarding late
-            # data. An event AT the carried timestamp with an already-folded
-            # event_id is an exact replay (at-least-once redelivery) — drop
-            # it too, or a retried microbatch would inflate n_events. Never
-            # fires on an ordered exactly-once source, so batch-oracle
-            # parity is untouched.
+            # data. An event AT the carried timestamp whose event_id is in
+            # the already-folded set is an exact replay (at-least-once
+            # redelivery) — drop it too, or a retried microbatch would
+            # inflate n_events; a distinct same-t event_id is NOT a replay
+            # and folds normally. Never fires on an ordered exactly-once
+            # source, so batch-oracle parity is untouched.
             pdf = pdf[
                 (pdf["t"] > last_t)
-                | ((pdf["t"] == last_t) & (pdf["event_id"] > last_eid))
+                | ((pdf["t"] == last_t) & ~pdf["event_id"].isin(folded))
             ]
             if pdf.empty:
                 return
         else:
-            last_t, sess, start, n, last_eid = 0, 0, 0, 0, -1
+            last_t, sess, start, n, folded = 0, 0, 0, 0, set()
         out = []
-        last_eid = int(pdf["event_id"].iloc[-1])
+        prev_last_t = last_t
+        new_last_t = int(pdf["t"].iloc[-1])
+        new_eids = set(pdf.loc[pdf["t"] == new_last_t, "event_id"].astype(int).tolist())
+        if new_last_t == prev_last_t:
+            new_eids |= folded  # batch only added same-t events: keep the old set
         for t in pdf["t"].tolist():
             if sess == 0 or t - last_t > gap_us:
                 if sess > 0:
@@ -284,7 +314,7 @@ def stateful_sessionize(
                 n += 1
             last_t = t
         out.append((sess, n, start, last_t))  # open session, extent so far
-        state.update((last_t, sess, start, n, last_eid))
+        state.update((last_t, sess, start, n, sorted(new_eids)))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]] * len(out),

@@ -221,6 +221,57 @@ def test_stateful_sessionize_drops_exact_replays(spark, tmp_path):
     assert r["session_end_us"] == 3_000_000
 
 
+def test_stateful_sessionize_folds_distinct_same_timestamp_events(spark, tmp_path):
+    """ADVICE r5: the replay guard must track the SET of event_ids folded at
+    the carried timestamp, not a single max id — a genuinely DISTINCT event
+    sharing the carried timestamp but with a SMALLER event_id (same-t events
+    split across microbatches out of id order) must be folded, not dropped.
+    File 1 carries (eid=10, t=1s), (eid=20, t=2s); file 2 carries
+    (eid=15, t=2s) — distinct, same t as the carried state — and
+    (eid=30, t=3s). The session must count 4 events; the old max-id guard
+    counted 3. A replay of eid=20 in the same file must still be dropped."""
+    import os
+    import time as _time
+
+    import duckdb
+
+    from ocrautomator_spark.streaming.jobs import EVENTS_SCHEMA, stateful_sessionize
+    from tests.conftest import SF_DIR
+
+    con = duckdb.connect()
+    indir = tmp_path / "in"
+    indir.mkdir()
+    batches = [
+        [(10, 1_000_000), (20, 2_000_000)],
+        [(15, 2_000_000), (20, 2_000_000), (30, 3_000_000)],
+    ]
+    for i, ev_list in enumerate(batches):
+        vals = ", ".join(
+            f"({eid}, make_timestamp({t}), 7, 'click', 1.0, '{{}}')"
+            for eid, t in ev_list
+        )
+        con.execute(
+            f"COPY (SELECT * FROM (VALUES {vals}) "
+            "v(event_id, ts, user_id, event_type, value, props)) "
+            f"TO '{indir}/{i:03d}.parquet' (FORMAT PARQUET)"
+        )
+        os.utime(indir / f"{i:03d}.parquet", (1000000 + i * 100, 1000000 + i * 100))
+        _time.sleep(0.05)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+    )
+    out = stateful_sessionize(spark, SF_DIR, gap_us=8 * 3600 * 1_000_000, stream=stream)
+    rows = {(r["user_id"], r["session_idx"]): r for r in out.collect()}
+    assert set(rows) == {(7, 1)}, f"unexpected sessions: {rows}"
+    r = rows[(7, 1)]
+    assert r["n_events"] == 4, f"distinct same-t event dropped or replay folded: {r['n_events']}"
+    assert r["session_start_us"] == 1_000_000
+    assert r["session_end_us"] == 3_000_000
+
+
 def test_streaming_dedup_incremental_state_spans_microbatches(spark, tmp_path):
     """Continuation contract of streaming_dedup_incremental (VERDICT r4
     item 5): the stateful sha2 filter must carry its seen-set ACROSS
