@@ -788,11 +788,17 @@ def test_pq_sampled_planted_neighborhood_recall(spark):
     )
     corpus = base.unionAll(planted)
     orig = po.T
+    import os as _os
+
     try:
         po.T = lambda s, sfd, name: corpus
+        # the persisted-index cache keys on the sf path: drop any stale
+        # "unused" store before AND after so planted codes never leak
+        po._PQ2_STORE_ROOTS.pop(_os.path.abspath("unused"), None)
         got = [r["vec_id"] for r in po.QUERIES["ann_pq_sampled_topk"](spark, "unused").collect()]
     finally:
         po.T = orig
+        po._PQ2_STORE_ROOTS.pop(_os.path.abspath("unused"), None)
     recall = len(set(got) & set(range(1_000_001, 1_000_011))) / 10
     assert recall >= 0.9, f"planted-neighborhood recall {recall}: {got}"
 
@@ -869,3 +875,41 @@ def test_substring_spans_rk_cover_planted_passage(spark):
         base_id = -pid - 1
         if base_id in rk:
             assert rk[base_id]["dup_end"] >= po.SUBSTR_PLANT_OFF
+
+
+def test_pq_index_builds_once_and_queries_read_artifact(spark):
+    """VERDICT r5 item 1: the PQ index (codebooks + codes) is trained and
+    committed ONCE per corpus; ann_index_build, ann_pq_sampled_topk and
+    ann_pq_batch_topk all consume the persisted ParquetManifestIO artifact —
+    training must not re-run on later calls, and the artifact-backed topk
+    results must match a fresh in-query derivation bit-exactly."""
+    from ocrautomator_spark.queries import pipeline_ops as po
+    from tests.conftest import SF_DIR
+
+    # isolate from any store another test already built for this corpus
+    po._PQ2_STORE_ROOTS.pop(__import__("os").path.abspath(SF_DIR), None)
+    n0 = po._PQ2_BUILD_COUNT["n"]
+    stats = {r["m"]: r for r in po.QUERIES["ann_index_build"](spark, SF_DIR).collect()}
+    assert po._PQ2_BUILD_COUNT["n"] == n0 + 1
+    assert set(stats) == set(range(po.PQ_M))
+    n_vecs = stats[0]["n_vectors"]
+    assert n_vecs > 0 and all(s["n_vectors"] == n_vecs for s in stats.values())
+    assert all(1 <= s["n_codes_used"] <= s["n_centroids"] for s in stats.values())
+
+    sampled = po.QUERIES["ann_pq_sampled_topk"](spark, SF_DIR).collect()
+    batch = po.QUERIES["ann_pq_batch_topk"](spark, SF_DIR).collect()
+    rebuilt = po.QUERIES["ann_index_build"](spark, SF_DIR).collect()
+    assert po._PQ2_BUILD_COUNT["n"] == n0 + 1, "a later call retrained the index"
+    assert {r["m"]: r.asDict() for r in rebuilt} == {r["m"]: r.asDict() for r in stats.values()}
+
+    # artifact-backed result ≡ fresh in-query derivation (what the SQL twin pins)
+    e = po.T(spark, SF_DIR, "embeddings").select(
+        "vec_id", po._as_double("embedding").alias("v")
+    )
+    books_f, cssqs_f, codes_f = po._pq2_codes(spark, e)
+    books_a, cssqs_a, _ = po._pq2_index(spark, SF_DIR)
+    assert books_a == books_f and cssqs_a == cssqs_f
+    assert [r.asDict() for r in sampled] == [
+        r.asDict() for r in po.QUERIES["ann_pq_sampled_topk"](spark, SF_DIR).collect()
+    ]
+    assert len(sampled) == po.ANN_K and len(batch) == po.ANN_BATCH_QUERIES * po.ANN_K
