@@ -341,3 +341,64 @@ def test_streaming_dedup_incremental_state_spans_microbatches(spark, tmp_path):
     assert got == sorted([b, d]), (
         f"expected survivors {sorted([b, d])} (ids a={a} b={b} b2={b2} c={c} d={d}), got {got}"
     )
+
+
+def test_streaming_dedup_incremental_kill_between_data_write_and_commit(spark, tmp_path):
+    """Exactly-once kill test (VERDICT r5 item 7): a crash BETWEEN the
+    snapshot store's parquet data write and its manifest commit must leave
+    the restarted stream with neither drops nor duplicates.
+
+    Kill point 1 — torn seed: the crashed run wrote bucket 0's data files
+    (poisoned here with the fingerprints of docs that SHOULD survive, so any
+    leak of uncommitted data into read() would anti-join-kill them = visible
+    drops) but never committed. The restart must treat the bucket as not
+    done, overwrite-reseed it (idempotent retry), and reproduce the batch
+    definition exactly.
+
+    Kill point 2 — torn write after a committed generation: an orphaned
+    uncommitted bucket 1 with the same poison must stay invisible to read()
+    (manifest-path reads), and gc_orphans must remove exactly that
+    directory, after which the result is still identical."""
+    from pyspark.sql import functions as F
+
+    from ocrautomator_spark.queries import corpus_ops as co
+    from ocrautomator_spark.spark.tableio import ParquetManifestIO
+    from tests.conftest import SF_DIR
+
+    root = str(tmp_path / "store")
+    docs = co.T(spark, SF_DIR, "documents")
+    pfx = F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8")), 1, 1)
+    poison = (
+        docs.select("text", pfx.alias("pfx"))
+        .filter(F.col("pfx") >= co.INC_MIN)
+        .select(F.sha2(F.encode("text", "utf-8"), 256).alias("fp"))
+    )
+    io = ParquetManifestIO(root)
+    io.write_bucket_data(poison, 0)  # CRASH: data on disk, no manifest
+    assert io.committed_buckets() == set(), "torn write must not count as committed"
+
+    exp = sorted(
+        r["doc_id"] for r in co.QUERIES["dedup_incremental_snapshot"](spark, SF_DIR).collect()
+    )
+    got1 = sorted(
+        r["doc_id"]
+        for r in co.streaming_dedup_incremental(spark, SF_DIR, store_root=root).collect()
+    )
+    assert got1 == exp, "restart after torn seed dropped or duplicated rows"
+    assert len(got1) == len(set(got1))
+    assert io.committed_buckets() == {0}, "restart must have committed the reseed"
+
+    io.write_bucket_data(poison, 1)  # CRASH again: orphan beside a committed gen
+    got2 = sorted(
+        r["doc_id"]
+        for r in co.streaming_dedup_incremental(spark, SF_DIR, store_root=root).collect()
+    )
+    assert got2 == exp, "uncommitted orphan bucket leaked into the read path"
+
+    removed = io.gc_orphans(older_than=0.0)
+    assert [p.split("/")[-1] for p in removed] == ["bucket=00001"], removed
+    got3 = sorted(
+        r["doc_id"]
+        for r in co.streaming_dedup_incremental(spark, SF_DIR, store_root=root).collect()
+    )
+    assert got3 == exp, "GC of the orphan changed the committed read"
