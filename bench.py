@@ -88,6 +88,7 @@ HEADLINE = [
     "search_bm25_topk",
     "dedup_substring_windows",
     "dedup_substring_windows_rk",
+    "ann_pq_sampled_topk",
     "extract_flagship",
 ]
 HEADLINE_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_HREPS", "2"))
@@ -335,6 +336,12 @@ def main() -> None:
     # untimed warmup: absorbs whole-stage-codegen JIT + Python worker start
     QUERIES["agg_hash"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     QUERIES["udf_scalar_pandas"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # ingest-time PQ index build (untimed, once): ann_pq_sampled_topk below
+    # measures the QUERY path against the persisted artifact, which is the
+    # 100 TB cost placement (train/code at ingest, read codes at query time)
+    t0 = time.perf_counter()
+    QUERIES["ann_index_build"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    extras["ann_index_build_ingest_wall"] = round(time.perf_counter() - t0, 3)
     # protocol v4: >=2 INTERLEAVED reps per headline query (full sweeps, so a
     # co-tenant spike window hits one rep of every query, not every rep of
     # one query), best-of reported — single-shot numbers manufactured four
