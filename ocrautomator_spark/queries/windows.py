@@ -72,6 +72,22 @@ SQL_SESSION = """
 
 SQL_DEDUP = "SELECT COUNT(*) AS n_unique_pairs FROM (SELECT DISTINCT user_id, event_type FROM events)"
 
+# batch twin of the stream-stream interval join: every (view, click) pair for
+# the same user with the click landing in [view_ts, view_ts + 30 min)
+SQL_JOIN_INTERVAL = """
+    SELECT l.user_id,
+           l.event_id AS view_eid,
+           r.event_id AS click_eid,
+           epoch_us(l.ts) AS view_ts_us,
+           epoch_us(r.ts) AS click_ts_us
+    FROM events l
+    JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts
+     AND r.ts < l.ts + INTERVAL 30 MINUTE
+    WHERE l.event_type = 'view' AND r.event_type = 'click'
+"""
+
 SQL_STATEFUL = "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id"
 
 
@@ -137,3 +153,11 @@ def streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
 @q("streaming_stateful", SQL_STATEFUL)
 def streaming_stateful(spark: SparkSession, sf: str) -> DataFrame:
     return sj.stateful_counters(spark, sf)
+
+
+@q("streaming_join_interval", SQL_JOIN_INTERVAL)
+def streaming_join_interval(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream inner interval join with watermarked state eviction on
+    both sides — the one Structured Streaming join shape (see
+    streaming/jobs.py interval_join_view_click for the eviction contract)."""
+    return sj.interval_join_view_click(spark, sf)

@@ -181,6 +181,63 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interval_join_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner INTERVAL join (§2B streaming family): each 'view'
+    event joins the same user's 'click' events landing in
+    [view_ts, view_ts + 30 min).
+
+    Spark requires exactly what this supplies for state eviction: a
+    watermark on BOTH sides plus a time-range join condition, so the state
+    store can discard a buffered view once the click-side watermark passes
+    view_ts + 30 min (and vice versa). Inner-join output is append-mode.
+
+    Determinism contract: with the whole input in one microbatch the
+    watermark only advances AFTER the batch, so no state is evicted before
+    every match is found and the result equals the batch interval join —
+    which is the registered DuckDB oracle. ``expect_single_batch`` turns a
+    future trigger-config change into an explicit contract error (same
+    pinning as streaming_dedup_incremental, ADVICE r5)."""
+    views = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_eid"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user_id"),
+            F.col("event_id").alias("click_eid"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") < F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    )
+    return run_to_memory(
+        joined,
+        "append",
+        lambda df: df.select(
+            "user_id",
+            "view_eid",
+            "click_eid",
+            F.unix_micros("view_ts").alias("view_ts_us"),
+            F.unix_micros("click_ts").alias("click_ts_us"),
+        ),
+        expect_single_batch=True,
+    )
+
+
 def stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful processing (applyInPandasWithState): running
     per-user event counters, the custom-stateful-operator path (§2B)."""
