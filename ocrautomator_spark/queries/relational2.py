@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ocrautomator_spark.queries.common import T, davg, davg_sql, dsum_sql
+from ocrautomator_spark.queries.common import T, davg, davg_sql, dsum, dsum_sql
 
 QUERIES = {}
 ORACLES = {}
@@ -196,4 +196,71 @@ def agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
         F.percentile("l_quantity", F.lit(0.9)).alias("p90_qty"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
+    )
+
+
+# ------------------------------------------------------------- range join
+# Bin width for the binned range join: >= the widest interval (2 + 6 = 8),
+# so every interval covers at most 2 bins and the explode factor is <= 2.
+_RJ_BIN = 8.0
+
+
+@q(
+    "join_range_binned",
+    f"""
+    WITH iv AS (
+      SELECT p_partkey AS iv_id,
+             (p_retailprice - 900.0) * 4.9 AS lo,
+             (p_retailprice - 900.0) * 4.9
+               + (2.0 + CAST(p_partkey % 7 AS DOUBLE)) AS hi
+      FROM part
+    )
+    SELECT iv_id, COUNT(*) AS n_events, {dsum_sql('value')} AS sum_value
+    FROM events JOIN iv ON value >= lo AND value < hi
+    GROUP BY iv_id
+    """,
+)
+def join_range_binned(spark: SparkSession, sf: str) -> DataFrame:
+    """Big x big interval (range) join WITHOUT a nested-loop plan.
+
+    A raw `e.value >= iv.lo AND e.value < iv.hi` join has no equi key, so
+    Spark can only plan BroadcastNestedLoopJoin -- O(n*m) work and a
+    driver-killing broadcast once the interval side outgrows memory. The
+    scale-out rewrite (the same one behind Databricks' RANGE_JOIN hint and
+    Flink/Trino interval joins) quantizes the domain into fixed-width bins:
+
+      * each interval explodes into the <=2 bins it covers
+        (bin width >= max interval width bounds the explode factor),
+      * each probe row lands in exactly ONE bin (floor(value / W)),
+      * the join becomes a hash EQUI-join on bin, then re-filters the
+        exact predicate.
+
+    Because a probe row has exactly one bin, every qualifying
+    (event, interval) pair joins exactly once -- no dedup pass needed. At
+    100 TB both sides shuffle-partition on `bin`; a skewed value
+    distribution concentrates bins, which AQE skew-join splitting (or a
+    salt on the probe side replicated per salt on the interval side)
+    handles without changing the rewrite. The interval table here is
+    derived deterministically from `part` (2k overlapping intervals of
+    width 2..8 mapped onto the events value domain) so the oracle can
+    recompute it; the direct non-equi join IS the DuckDB oracle, pinning
+    the rewrite's exactness, while the Spark side never materializes the
+    quadratic pair space.
+    """
+    e = T(spark, sf, "events").select("value")
+    p = T(spark, sf, "part")
+    lo = (p.p_retailprice - F.lit(900.0)) * F.lit(4.9)
+    width = F.lit(2.0) + (p.p_partkey % 7).cast("double")
+    iv = p.select(
+        p.p_partkey.alias("iv_id"), lo.alias("lo"), (lo + width).alias("hi")
+    )
+    iv_binned = iv.withColumn(
+        "bin", F.explode(F.sequence(F.floor(F.col("lo") / _RJ_BIN), F.floor(F.col("hi") / _RJ_BIN)))
+    )
+    ev_binned = e.withColumn("bin", F.floor(F.col("value") / _RJ_BIN))
+    return (
+        ev_binned.join(iv_binned, "bin")
+        .filter((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .groupBy("iv_id")
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
     )

@@ -162,3 +162,16 @@ def test_shuffle_shards_single_exchange(spark):
     # repeats the name without the node id
     assert plan.count("Exchange (") == 1, plan[:600]
     assert "SinglePartition" not in plan
+
+
+def test_range_join_is_binned_equi_join(spark):
+    """join_range_binned must plan a hash/sort-merge EQUI-join on the bin
+    key — never the BroadcastNestedLoopJoin a raw interval predicate
+    produces — with the exact range re-filter applied post-join."""
+    from ocrautomator_spark.queries.relational2 import QUERIES as R2Q
+
+    plan = _plan(R2Q["join_range_binned"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Cartesian" not in plan
+    # partial aggregation before the final group-by exchange
+    assert "partial_" in plan
