@@ -21,6 +21,7 @@ from ocrautomator_spark.queries import (
     curation,
     events_analytics,
     extraction,
+    graph,
     pipeline_ops,
     relational,
     relational2,
@@ -33,6 +34,7 @@ from ocrautomator_spark.queries import (
 _MODULES = [
     relational,
     relational2,
+    graph,
     scalars,
     windows,
     udfs,

@@ -175,3 +175,17 @@ def test_range_join_is_binned_equi_join(spark):
     assert "Cartesian" not in plan
     # partial aggregation before the final group-by exchange
     assert "partial_" in plan
+
+
+def test_pagerank_plan_shape(spark):
+    """graph_pagerank_topk: per-iteration work is edge-join + partial-agg
+    shuffles; the ONLY nested-loop allowed is the 1-row node-count
+    broadcast, and top-k must be TakeOrderedAndProject, never a global
+    sort."""
+    from ocrautomator_spark.queries.graph import QUERIES as GQ
+
+    plan = _plan(GQ["graph_pagerank_topk"](spark, SF_DIR))
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # 1-row nn broadcast only
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_" in plan
