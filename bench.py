@@ -89,6 +89,8 @@ HEADLINE = [
     "dedup_substring_windows",
     "dedup_substring_windows_rk",
     "ann_pq_sampled_topk",
+    "join_range_binned",
+    "graph_pagerank_topk",
     "extract_flagship",
 ]
 HEADLINE_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_HREPS", "2"))

@@ -200,9 +200,12 @@ def agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ------------------------------------------------------------- range join
-# Bin width for the binned range join: >= the widest interval (2 + 6 = 8),
-# so every interval covers at most 2 bins and the explode factor is <= 2.
-_RJ_BIN = 8.0
+# Bin width for the binned range join: >= the widest interval (0.25 + 6*0.125
+# = 1.0), so every interval covers at most 2 bins and the explode factor is
+# <= 2. Interval density is calibrated so each probe row matches ~2.5
+# intervals per 2k intervals (~25 at sf0.1's 20k) — a genuinely overlapping
+# big x big workload whose cost is O(matching pairs), not O(n*m).
+_RJ_BIN = 1.0
 
 
 @q(
@@ -212,7 +215,7 @@ _RJ_BIN = 8.0
       SELECT p_partkey AS iv_id,
              (p_retailprice - 900.0) * 4.9 AS lo,
              (p_retailprice - 900.0) * 4.9
-               + (2.0 + CAST(p_partkey % 7 AS DOUBLE)) AS hi
+               + (0.25 + CAST(p_partkey % 7 AS DOUBLE) * 0.125) AS hi
       FROM part
     )
     SELECT iv_id, COUNT(*) AS n_events, {dsum_sql('value')} AS sum_value
@@ -250,7 +253,7 @@ def join_range_binned(spark: SparkSession, sf: str) -> DataFrame:
     e = T(spark, sf, "events").select("value")
     p = T(spark, sf, "part")
     lo = (p.p_retailprice - F.lit(900.0)) * F.lit(4.9)
-    width = F.lit(2.0) + (p.p_partkey % 7).cast("double")
+    width = F.lit(0.25) + (p.p_partkey % 7).cast("double") * F.lit(0.125)
     iv = p.select(
         p.p_partkey.alias("iv_id"), lo.alias("lo"), (lo + width).alias("hi")
     )
@@ -263,4 +266,50 @@ def join_range_binned(spark: SparkSession, sf: str) -> DataFrame:
         .filter((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
         .groupBy("iv_id")
         .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+    )
+
+
+@q(
+    "agg_approx_quantile",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50_exact,
+           quantile_cont(value, 0.9) AS p90_exact,
+           1 AS within_tol
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch) — the 100 TB path
+    when exact percentile's full sort-per-group is the bottleneck.
+
+    Same driver-gate contract as agg_approx: the GK sketch has no DuckDB
+    twin, so the gated columns are the EXACT continuous percentiles plus
+    ``within_tol`` = 1 iff both approximate values land inside generous
+    exact rank brackets (p50 in [p40, p60], p90 in [p80, p97]; GK at
+    accuracy=10000 bounds rank error at 1e-4, so a regression would have to
+    be catastrophic to flip the flag — but the approximate path genuinely
+    RUNS and genuinely feeds the flag)."""
+    e = T(spark, sf, "events")
+    approx = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000))
+    brackets = [
+        F.percentile("value", F.lit(p)).alias(n)
+        for p, n in [(0.5, "p50_exact"), (0.9, "p90_exact"),
+                     (0.4, "b50_lo"), (0.6, "b50_hi"), (0.8, "b90_lo"), (0.97, "b90_hi")]
+    ]
+    return (
+        e.groupBy("event_type")
+        .agg(approx.alias("ap"), *brackets)
+        .select(
+            "event_type",
+            "p50_exact",
+            "p90_exact",
+            F.when(
+                (F.col("ap")[0] >= F.col("b50_lo")) & (F.col("ap")[0] <= F.col("b50_hi"))
+                & (F.col("ap")[1] >= F.col("b90_lo")) & (F.col("ap")[1] <= F.col("b90_hi")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("within_tol"),
+        )
     )

@@ -90,6 +90,38 @@ SQL_JOIN_INTERVAL = """
 
 SQL_STATEFUL = "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id"
 
+# batch twin of the stream-stream LEFT OUTER interval join: the match set of
+# SQL_JOIN_INTERVAL plus null-click rows for unmatched views — but ONLY the
+# unmatched views whose join window closed under the final watermark: views
+# newer than that are still buffered join state when the bounded run ends,
+# so the oracle reproduces Spark's eviction boundary in SQL rather than
+# pretending the stream equals a plain batch LEFT JOIN. Two empirically
+# pinned watermark details (probed via StreamingQuery.recentProgress):
+# the global watermark is the MIN over both watermark nodes — each sees only
+# its own filtered stream, so w = least(max view ts, max click ts) − 1 h —
+# and event-time stats are millisecond-truncated before the delay subtract.
+SQL_JOIN_INTERVAL_OUTER = """
+    WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+         wm AS (
+           SELECT (epoch_us(LEAST((SELECT MAX(ts) FROM v), (SELECT MAX(ts) FROM c)))
+                   // 1000) * 1000 - 3600000000 AS w_us
+         )
+    SELECT v.user_id, v.event_id AS view_eid, c.event_id AS click_eid,
+           epoch_us(v.ts) AS view_ts_us, epoch_us(c.ts) AS click_ts_us
+    FROM v JOIN c
+      ON v.user_id = c.user_id AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 30 MINUTE
+    UNION ALL
+    SELECT v.user_id, v.event_id AS view_eid, CAST(NULL AS BIGINT) AS click_eid,
+           epoch_us(v.ts) AS view_ts_us, CAST(NULL AS BIGINT) AS click_ts_us
+    FROM v CROSS JOIN wm
+    WHERE NOT EXISTS (
+            SELECT 1 FROM c
+            WHERE c.user_id = v.user_id AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 30 MINUTE
+          )
+      AND epoch_us(v.ts) + 1800000000 < wm.w_us
+"""
+
 
 # ---- batch twins ----
 
@@ -161,3 +193,12 @@ def streaming_join_interval(spark: SparkSession, sf: str) -> DataFrame:
     both sides — the one Structured Streaming join shape (see
     streaming/jobs.py interval_join_view_click for the eviction contract)."""
     return sj.interval_join_view_click(spark, sf)
+
+
+@q("streaming_join_interval_outer", SQL_JOIN_INTERVAL_OUTER)
+def streaming_join_interval_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: unmatched views emit null
+    clicks only after the watermark closes their join window — the oracle
+    encodes that eviction boundary in SQL (see
+    streaming/jobs.py interval_join_view_click_outer)."""
+    return sj.interval_join_view_click_outer(spark, sf)

@@ -238,6 +238,71 @@ def interval_join_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interval_join_view_click_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the null-emission shape.
+
+    Matches emit like the inner join; an UNMATCHED view emits
+    (view, NULL click) only once the global watermark passes
+    view_ts + 30 min, i.e. once the state store can prove no future click
+    can land in the view's window. Spark requires the same two-sided
+    watermark + time-range condition as the inner join so both join-state
+    sides stay evictable.
+
+    Determinism contract (pinned by the oracle): all input lands in one
+    data microbatch; the final global watermark — advanced by the trailing
+    no-data microbatch (spark.sql.streaming.noDataMicroBatches.enabled
+    default) — is the MIN over both watermark nodes, each of which sees
+    only its own filtered stream:
+    least(max view ts, max click ts) [ms-truncated] − 1 h (probed
+    empirically via recentProgress eventTime.watermark; using the overall
+    events max here is WRONG and was caught by the parity gate). The
+    no-data batch flushes exactly the unmatched views whose join window
+    [view_ts, view_ts+30 min) closed strictly under that watermark;
+    unmatched views newer than watermark − 30 min are still legitimately
+    buffered when the bounded harness run ends. The registered DuckDB
+    oracle reproduces that boundary in SQL, so the parity gate pins the
+    eviction semantics, not just the match set."""
+    views = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_eid"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("click_user_id"),
+            F.col("event_id").alias("click_eid"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") < F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    )
+    return run_to_memory(
+        joined,
+        "append",
+        lambda df: df.select(
+            "user_id",
+            "view_eid",
+            "click_eid",
+            F.unix_micros("view_ts").alias("view_ts_us"),
+            F.unix_micros("click_ts").alias("click_ts_us"),
+        ),
+        expect_single_batch=True,
+    )
+
+
 def stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful processing (applyInPandasWithState): running
     per-user event counters, the custom-stateful-operator path (§2B)."""

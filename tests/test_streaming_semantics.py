@@ -402,3 +402,36 @@ def test_streaming_dedup_incremental_kill_between_data_write_and_commit(spark, t
         for r in co.streaming_dedup_incremental(spark, SF_DIR, store_root=root).collect()
     )
     assert got3 == exp, "GC of the orphan changed the committed read"
+
+
+def test_outer_interval_join_null_emission_boundary(spark):
+    """LEFT OUTER stream-stream interval join: (a) both result kinds exist
+    (matches AND watermark-flushed null-click rows); (b) NO null row is
+    emitted for a view whose join window was still open under the final
+    global watermark = least(max view ts, max click ts) [ms] − 1 h — i.e.
+    Spark only emits an outer row once state eviction PROVES no match can
+    arrive."""
+    from tests.conftest import SF_DIR
+
+    from ocrautomator_spark.streaming.jobs import interval_join_view_click_outer
+
+    out = interval_join_view_click_outer(spark, SF_DIR).collect()
+    matches = [r for r in out if r["click_eid"] is not None]
+    outers = [r for r in out if r["click_eid"] is None]
+    assert matches, "no inner matches — corpus degenerated, test is vacuous"
+    assert outers, "no null-emission rows — watermark flush never happened"
+
+    ev = spark.read.schema(EVENTS_SCHEMA).parquet(f"{SF_DIR}/events.parquet")
+    mx = (
+        ev.groupBy("event_type")
+        .agg(F.max("ts").alias("m"))
+        .where(F.col("event_type").isin("view", "click"))
+        .agg(F.min(F.unix_micros("m")).alias("mn"))
+        .collect()[0]["mn"]
+    )
+    wm_us = (mx // 1000) * 1000 - 3_600_000_000
+    for r in outers:
+        assert r["view_ts_us"] + 1_800_000_000 < wm_us, (
+            "outer row emitted for a view whose window was still open at the "
+            f"final watermark: view_ts_us={r['view_ts_us']} wm_us={wm_us}"
+        )
