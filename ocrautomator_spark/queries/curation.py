@@ -547,3 +547,86 @@ def curation_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
     return j.groupBy("doc_id", "lang").agg(
         F.count("*").alias("n_terms"), folded.alias("raw_score")
     )
+
+
+# ---------------------------------------------------- LM-rarity filtering
+
+# CCNet-style perplexity filtering ranks documents by how "surprising" their
+# text is under a corpus-level language model. A cross-engine float log-prob
+# sum cannot be hash-gated (IEEE addition is order-dependent), so this entry
+# keeps the SAME ranking signal in the exact integer domain: a document's
+# rarity is the fraction of its bigram occurrences whose corpus-wide
+# frequency is at most 1/RARITY_DENOM of all bigram occurrences. Rare-bigram
+# density is the discrete skeleton of high perplexity (unlikely transitions
+# dominate -log P under any n-gram LM), and every quantity here — counts,
+# the relative-frequency test, the ppm ratio — is integer arithmetic that
+# DuckDB reproduces bit-exactly.
+RARITY_DENOM = 1500  # rare ⇔ bigram freq ≤ 1/1500 of all occurrences
+RARITY_TOPN = 100
+_RARITY_SEP = "\x1f"  # chr(31): never appears inside a corpus word
+
+_RARITY_SQL = f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    b AS (SELECT doc_id, words FROM w WHERE len(words) >= 2),
+    g AS (SELECT doc_id, array_to_string(words[i:i+1], chr(31)) AS bg
+          FROM b, UNNEST(generate_series(1, len(words) - 1)) AS t(i)),
+    c AS (SELECT bg, COUNT(*) AS cnt FROM g GROUP BY bg),
+    r AS (SELECT bg FROM c WHERE cnt * {RARITY_DENOM} <= (SELECT SUM(cnt) FROM c)),
+    nr AS (SELECT doc_id, COUNT(*) AS n_rare FROM g JOIN r USING (bg) GROUP BY doc_id),
+    p AS (SELECT doc_id, len(words) - 1 AS n_bigrams FROM b)
+    SELECT p.doc_id, p.n_bigrams, COALESCE(nr.n_rare, 0) AS n_rare,
+           (COALESCE(nr.n_rare, 0) * 1000000) // p.n_bigrams AS rare_ppm
+    FROM p LEFT JOIN nr USING (doc_id)
+    ORDER BY rare_ppm DESC, p.doc_id
+    LIMIT {RARITY_TOPN}
+"""
+
+
+@q("curation_lm_rarity", _RARITY_SQL)
+def curation_lm_rarity(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank documents by rare-bigram density — the exact-integer skeleton of
+    a CCNet-style corpus-LM perplexity filter.
+
+    The corpus bigram table is built once (explode → groupBy(bg), map-side
+    combinable), the rare set is the relative-frequency tail (cnt·DENOM ≤
+    total occurrences — a scale-invariant test, so the same entry is
+    non-vacuous at every SF), and each document is scored by how many of its
+    bigram occurrences fall in that tail, as parts-per-million of its bigram
+    count (integer div — hash-exact across engines).
+
+    Scale: the rare join is skew-proof BY CONSTRUCTION — a key qualifies as
+    rare only if it carries ≤ occ/DENOM occurrences, so no hot key can
+    exist on the probe side; heavy hitters ("of the") are excluded by the
+    definition itself, never joined. The occurrence table is shuffled once
+    on bg (Catalyst reuses the exchange for the count aggregate and the
+    rare join) and once on doc_id for the per-doc reduce; the total-count
+    scalar is a broadcast 1-row crossJoin. At 100 TB the bigram count table
+    is vocabulary-sized (≪ corpus) and the rest is two bounded shuffles."""
+    docs = T(spark, sf, "documents")
+    words = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.concat_ws(_RARITY_SEP, F.slice(words, i, 2)),
+    )
+    base = docs.where(F.size(words) >= 2).select("doc_id", grams.alias("grams"))
+    ex = base.select("doc_id", F.explode("grams").alias("bg"))
+    counts = ex.groupBy("bg").agg(F.count("*").alias("cnt"))
+    occ = counts.agg(F.sum("cnt").alias("occ"))
+    rare = (
+        counts.crossJoin(F.broadcast(occ))
+        .where(F.col("cnt") * RARITY_DENOM <= F.col("occ"))
+        .select("bg")
+    )
+    n_rare = ex.join(rare, "bg").groupBy("doc_id").agg(F.count("*").alias("n_rare"))
+    return (
+        base.select("doc_id", F.size("grams").cast("long").alias("n_bigrams"))
+        .join(n_rare, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.coalesce("n_rare", F.lit(0).cast("long")).alias("n_rare"),
+        )
+        .withColumn("rare_ppm", F.expr("(n_rare * CAST(1000000 AS BIGINT)) div n_bigrams"))
+        .orderBy(F.desc("rare_ppm"), "doc_id")
+        .limit(RARITY_TOPN)
+    )

@@ -225,3 +225,50 @@ def test_importance_weights_favor_target_lang(spark):
     norm = {k: r["raw_score"] / r["n_terms"] for k, r in rows.items()}
     assert norm[1] > norm[5] > norm[3], norm
     assert norm[2] > norm[4], norm
+
+
+# ---------------------------------------------------------- LM rarity
+
+def test_lm_rarity_planted_gibberish_ranks_top(spark, tmp_path):
+    """A planted all-gibberish document (every word unique in the corpus, so
+    every bigram is a corpus singleton) must score rare_ppm = 1,000,000 and
+    rank first — the discrete analogue of maximal LM perplexity."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocrautomator_spark.queries import curation as cu
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet")
+    gib = " ".join(f"zq{i}gibx" for i in range(60))
+    extra = pa.table(
+        {
+            "doc_id": [999_999],
+            "text": [gib],
+            "lang": ["xx"],
+            "source": ["plant"],
+            "n_chars": [len(gib)],
+        }
+    ).cast(tbl.schema)
+    pq.write_table(pa.concat_tables([tbl, extra]), str(tmp_path / "documents.parquet"))
+
+    rows = cu.QUERIES["curation_lm_rarity"](spark, str(tmp_path)).collect()
+    top = rows[0]
+    assert top["doc_id"] == 999_999, [r["doc_id"] for r in rows[:3]]
+    assert top["rare_ppm"] == 1_000_000
+    assert top["n_rare"] == top["n_bigrams"] == 59
+
+
+def test_lm_rarity_nonvacuous_and_scale_invariant_threshold(spark):
+    """On the NATURAL corpus the relative-frequency tail is non-empty (the
+    gate is not vacuously all-zero), scores are a valid ppm ordering, and
+    n_rare never exceeds n_bigrams."""
+    from ocrautomator_spark.queries import curation as cu
+
+    rows = cu.QUERIES["curation_lm_rarity"](spark, SF_DIR).collect()
+    assert len(rows) == cu.RARITY_TOPN
+    assert sum(r["n_rare"] for r in rows) > 0, "rare tail vacuously empty"
+    ppms = [r["rare_ppm"] for r in rows]
+    assert ppms == sorted(ppms, reverse=True)
+    for r in rows:
+        assert 0 <= r["n_rare"] <= r["n_bigrams"]
+        assert r["rare_ppm"] == (r["n_rare"] * 1_000_000) // r["n_bigrams"]
