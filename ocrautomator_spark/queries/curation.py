@@ -150,11 +150,20 @@ def curation_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     Scale: a pure narrow map — all three stats come from array higher-order
     functions on the split column, so the plan is scan → project with zero
     exchanges. Ratios are single IEEE divisions of exact integers, so Spark
-    and DuckDB produce bit-identical doubles."""
-    words = F.split("text", " ")
+    and DuckDB produce bit-identical doubles.
+
+    The split is projected ONCE as an aliased column before the stats
+    expressions reference it: pasting the raw split() Column into the HOF
+    lambdas duplicates the split per lambda element (subexpression
+    elimination does not reach inside HOFs), re-tokenizing each document
+    O(distinct) times — measured 4x slower at sf0.1."""
+    split_docs = T(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    words = F.col("words")
     n_words, n_distinct, top_cnt = _word_stats_cols(words)
     n_2g, n_2g_d = _bigram_cols(words)
-    return T(spark, sf, "documents").select(
+    return split_docs.select(
         "doc_id",
         n_words.alias("n_words"),
         (n_distinct.cast("double") / n_words).alias("distinct_word_ratio"),
@@ -205,11 +214,15 @@ def curation_filter_funnel(spark: SparkSession, sf: str) -> DataFrame:
     Scale: one narrow map computing the four flags, then ONE single-row
     conditional aggregation (sum of flag ints, partial-agg friendly); the
     5-row funnel comes from stack() on that row — total cost is one corpus
-    scan regardless of size."""
-    words = F.split("text", " ")
+    scan regardless of size. The split is pre-projected as an aliased
+    column (see curation_repetition_stats): with four flag expressions each
+    pasting the raw split() into HOF lambdas, the funnel re-tokenized every
+    document dozens of times (measured 3.6 s -> sub-second at sf0.1)."""
+    split_docs = T(spark, sf, "documents").select(F.split("text", " ").alias("words"))
+    words = F.col("words")
     n_words, n_distinct, top_cnt = _word_stats_cols(words)
     n_2g, n_2g_d = _bigram_cols(words)
-    flags = T(spark, sf, "documents").select(
+    flags = split_docs.select(
         n_words.between(FUNNEL_LEN_MIN, FUNNEL_LEN_MAX).alias("f_len"),
         (top_cnt.cast("double") / n_words <= FUNNEL_TOP_MAX).alias("f_top"),
         (n_distinct.cast("double") / n_words >= FUNNEL_DIV_MIN).alias("f_div"),
@@ -597,34 +610,44 @@ def curation_lm_rarity(spark: SparkSession, sf: str) -> DataFrame:
     Scale: the rare join is skew-proof BY CONSTRUCTION — a key qualifies as
     rare only if it carries ≤ occ/DENOM occurrences, so no hot key can
     exist on the probe side; heavy hitters ("of the") are excluded by the
-    definition itself, never joined. The occurrence table is shuffled once
-    on bg (Catalyst reuses the exchange for the count aggregate and the
-    rare join) and once on doc_id for the per-doc reduce; the total-count
-    scalar is a broadcast 1-row crossJoin. At 100 TB the bigram count table
-    is vocabulary-sized (≪ corpus) and the rest is two bounded shuffles."""
+    definition itself, never joined. The bigram count table is
+    vocabulary-sized (≪ corpus) and is materialized ONCE behind an explicit
+    barrier — it has three consumers (the total-count scalar, the rare
+    filter, and transitively the probe join), and without the barrier every
+    consumer re-runs the corpus scan + explode (the round-5 reused-exchange
+    lesson; measured 8 parquet scans in the naive plan). Both per-doc
+    outputs (n_bigrams, n_rare) come from a SINGLE pass over the occurrence
+    stream — a left join against the rare set marks each occurrence, one
+    groupBy(doc_id) counts all and rare together — so the corpus is read
+    exactly twice (once into the count barrier, once for scoring), with one
+    join exchange on bg and one reduce on doc_id."""
     docs = T(spark, sf, "documents")
     words = F.split("text", " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - 1),
-        lambda i: F.concat_ws(_RARITY_SEP, F.slice(words, i, 2)),
+    # zip_with over two whole-array slices, NOT transform(sequence, i ->
+    # slice(words, i, 2)): project-collapse inlines the split() into every
+    # lambda element, so the per-index form re-splits each document O(len)
+    # times (measured 3.5 s vs 0.6 s for this scan at sf0.1). The zip form
+    # references the split a constant number of times per row.
+    grams = F.zip_with(
+        F.slice(words, 1, F.size(words) - 1),
+        F.slice(words, 2, F.size(words) - 1),
+        lambda a, b: F.concat_ws(_RARITY_SEP, a, b),
     )
     base = docs.where(F.size(words) >= 2).select("doc_id", grams.alias("grams"))
     ex = base.select("doc_id", F.explode("grams").alias("bg"))
-    counts = ex.groupBy("bg").agg(F.count("*").alias("cnt"))
+    counts = ex.groupBy("bg").agg(F.count("*").alias("cnt")).localCheckpoint()
     occ = counts.agg(F.sum("cnt").alias("occ"))
     rare = (
         counts.crossJoin(F.broadcast(occ))
         .where(F.col("cnt") * RARITY_DENOM <= F.col("occ"))
-        .select("bg")
+        .select("bg", F.lit(1).alias("is_rare"))
     )
-    n_rare = ex.join(rare, "bg").groupBy("doc_id").agg(F.count("*").alias("n_rare"))
     return (
-        base.select("doc_id", F.size("grams").cast("long").alias("n_bigrams"))
-        .join(n_rare, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_bigrams",
-            F.coalesce("n_rare", F.lit(0).cast("long")).alias("n_rare"),
+        ex.join(rare, "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.coalesce("is_rare", F.lit(0))).alias("n_rare"),
         )
         .withColumn("rare_ppm", F.expr("(n_rare * CAST(1000000 AS BIGINT)) div n_bigrams"))
         .orderBy(F.desc("rare_ppm"), "doc_id")

@@ -73,19 +73,35 @@ JACCARD_THRESHOLD = 0.15
 MAX_DF = 100  # stop-gram guard: grams in more docs than this are dropped
 
 
-def _gram_array(n: int):
-    """Word n-gram array column over split text (whole doc as one gram when
-    too short) — the ONE shingle definition, shared by the weighted and
-    unweighted minhash variants and mirrored by the oracles' words[i:i+n-1]
-    idiom; change it here and both estimators + SQL twins stay comparable."""
-    words = F.split("text", " ")
+def _split_words(df: DataFrame) -> DataFrame:
+    """Project split("text") ONCE as an aliased column before any HOF
+    consumes it. Pasting the raw split() Column into transform/filter
+    lambdas duplicates the split per lambda ELEMENT (subexpression
+    elimination does not reach inside HOFs), re-tokenizing each document
+    O(len) times — measured 2.3x slower on the 3-gram shingle scan at
+    sf0.1. An aliased non-cheap column referenced more than once survives
+    CollapseProject, so the split runs once per row."""
+    return df.select("doc_id", F.split("text", " ").alias("words"))
+
+
+def _gram_array(n: int, words):
+    """Word n-gram array column over a pre-split words column (whole doc as
+    one gram when too short) — the ONE shingle definition, shared by the
+    weighted and unweighted minhash variants and mirrored by the oracles'
+    words[i:i+n-1] idiom; change it here and both estimators + SQL twins
+    stay comparable. `words` must be an aliased attribute (see
+    _split_words), never the raw split() expression."""
     idx = F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
 
 
 def _word_ngrams(df: DataFrame, n: int) -> DataFrame:
     """doc_id → distinct word n-grams (whole doc as one gram when too short)."""
-    return df.select("doc_id", F.explode(_gram_array(n)).alias("gram")).distinct()
+    return (
+        _split_words(df)
+        .select("doc_id", F.explode(_gram_array(n, F.col("words"))).alias("gram"))
+        .distinct()
+    )
 
 
 @q(
@@ -401,8 +417,8 @@ def dedup_minhash_weighted(spark: SparkSession, sf: str) -> DataFrame:
     Pinned by unit tests: docs with identical gram sets but 10×-different
     counts are NOT paired (J_w ≈ 0.14) while unweighted minhash estimates
     1.0."""
-    g = T(spark, sf, "documents").select(
-        "doc_id", F.explode(_gram_array(3)).alias("gram")
+    g = _split_words(T(spark, sf, "documents")).select(
+        "doc_id", F.explode(_gram_array(3, F.col("words"))).alias("gram")
     )
     gc = g.groupBy("doc_id", "gram").agg(
         F.least(F.count("*"), F.lit(WMINHASH_MAX_W)).alias("w")
