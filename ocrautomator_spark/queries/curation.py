@@ -621,13 +621,15 @@ def curation_lm_rarity(spark: SparkSession, sf: str) -> DataFrame:
     groupBy(doc_id) counts all and rare together — so the corpus is read
     exactly twice (once into the count barrier, once for scoring), with one
     join exchange on bg and one reduce on doc_id."""
-    docs = T(spark, sf, "documents")
-    words = F.split("text", " ")
-    # zip_with over two whole-array slices, NOT transform(sequence, i ->
-    # slice(words, i, 2)): project-collapse inlines the split() into every
-    # lambda element, so the per-index form re-splits each document O(len)
-    # times (measured 3.5 s vs 0.6 s for this scan at sf0.1). The zip form
-    # references the split a constant number of times per row.
+    docs = T(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("words")
+    )
+    words = F.col("words")
+    # zip_with over two whole-array slices of the pre-aliased words column,
+    # NOT transform(sequence, i -> slice(words, i, 2)): the per-index form
+    # pastes the split into every lambda element, re-splitting each
+    # document O(len) times (measured 3.5 s vs 0.6 s for this scan at
+    # sf0.1; see _split_words in pipeline_ops for the general rule).
     grams = F.zip_with(
         F.slice(words, 1, F.size(words) - 1),
         F.slice(words, 2, F.size(words) - 1),

@@ -2917,8 +2917,10 @@ def ann_pq_batch_topk(spark: SparkSession, sf: str) -> DataFrame:
 def text_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Heuristic quality scoring: length, punctuation density, short-word
     ratio — all JVM-side builtins, no Python."""
-    d = T(spark, sf, "documents")
-    words = F.split("text", " ")
+    d = T(spark, sf, "documents").select(
+        "doc_id", "text", F.split("text", " ").alias("words")
+    )
+    words = F.col("words")
     n_chars = F.length("text")
     n_words = F.size(words)
     n_punct = F.length("text") - F.length(F.regexp_replace("text", "[.,;:!?]", ""))
