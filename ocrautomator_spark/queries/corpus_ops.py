@@ -494,8 +494,12 @@ def lifecycle_compact_stats(spark: SparkSession, sf: str) -> DataFrame:
             io.compact_bucket(spark, b, "lifecycle-compact")
             for b in range(LIFECYCLE_NBUCKETS)
         ]
-        # older_than=0: this scratch store has no concurrent ingest by
-        # construction, so the in-flight-write grace window doesn't apply
+        # the Iceberg maintenance sequence: expire history first (pre-
+        # compaction generations stay pinned by retained snapshots until
+        # then), THEN collect orphans. older_than=0: this scratch store has
+        # no concurrent ingest by construction, so the in-flight-write
+        # grace window doesn't apply.
+        io.expire_snapshots(keep_last=1)
         removed = io.gc_orphans(older_than=0)
         # integrity gates raise (not assert: must survive `python -O`)
         if not any("bucket=00099" in p for p in removed):
@@ -514,6 +518,106 @@ def lifecycle_compact_stats(spark: SparkSession, sf: str) -> DataFrame:
                 for m in manifests
             ],
             "bucket int, n_rows bigint, files_before int, files_after int",
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ------------------------------------------------------- time travel
+
+# Snapshot probes for the time-travel entry: the table is bucketed by
+# doc_id parity; snapshot 2 is the fully-ingested original, the current
+# view has bucket 0 rewritten without doc_id % 7 == 0 (a GDPR-style
+# delete-rewrite). Both probes gate row count AND an exact bigint
+# doc_id checksum, so the oracle verifies the bytes served by each
+# snapshot, not just bookkeeping.
+TT_DELETE_MOD = 7
+
+_TIME_TRAVEL_SQL = f"""
+    SELECT 2 AS snapshot_id, COUNT(*) AS n_rows,
+           SUM(doc_id) AS sum_doc_id
+    FROM documents
+    UNION ALL
+    SELECT 4, COUNT_IF(NOT (doc_id % 2 = 0 AND doc_id % {TT_DELETE_MOD} = 0)),
+           SUM(CASE WHEN NOT (doc_id % 2 = 0 AND doc_id % {TT_DELETE_MOD} = 0)
+                    THEN doc_id END)
+    FROM documents
+"""
+
+
+@q("lifecycle_time_travel", _TIME_TRAVEL_SQL)
+def lifecycle_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot history + time travel on the manifest store — Iceberg's
+    snapshot log and ``VERSION AS OF`` rebuilt on the parquet twin
+    (tableio.ParquetManifestIO.snapshots/read_snapshot/expire_snapshots).
+
+    The entry runs the full history lifecycle against a scratch store:
+    ingest documents as two parity buckets (snapshots 1-2), rewrite bucket
+    0 without the doc_id % {mod} == 0 rows — a GDPR-style delete —
+    (snapshot 3), compact bucket 1 (snapshot 4), then read the table AS OF
+    snapshot 2 (the pre-delete original) and AS OF the current snapshot,
+    returning row counts + exact doc_id checksums for both. The oracle
+    recomputes both states from the source table, so the gate verifies
+    that time travel serves the ORIGINAL bytes after two later rewrites.
+    Integrity raises: the pre-delete read must still see the deleted rows;
+    after expire_snapshots + gc_orphans, the old snapshot must become
+    unreadable (FileNotFoundError) — history release is observable, not
+    silent.
+
+    Scale: a snapshot read lists O(buckets) paths from one log entry and
+    scans only those files; expire + GC is the same manifest-set
+    difference as lifecycle_compact_stats. The per-commit full-state log
+    entry is linear in bucket count — the documented trade vs Iceberg's
+    shared manifest subtrees (production backend)."""
+    import shutil
+    import tempfile
+
+    from ocrautomator_spark.spark.tableio import ParquetManifestIO
+
+    scratch = tempfile.mkdtemp(prefix="ocras_timetravel_")
+    try:
+        io = ParquetManifestIO(scratch)
+        docs = T(spark, sf, "documents").select("doc_id")
+        for b in range(2):  # snapshots 1, 2
+            io.write_bucket(docs.filter(F.col("doc_id") % 2 == b), b, "tt-ingest")
+        # snapshot 3: delete-rewrite of bucket 0
+        io.write_bucket(
+            docs.filter(
+                (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % TT_DELETE_MOD != 0)
+            ),
+            0,
+            "tt-delete",
+        )
+        io.compact_bucket(spark, 1, "tt-compact")  # snapshot 4
+        snaps = [s["snapshot_id"] for s in io.snapshots()]
+        if snaps != [1, 2, 3, 4]:
+            raise RuntimeError(f"unexpected snapshot history: {snaps}")
+
+        def probe(df):
+            row = df.agg(
+                F.count("*").alias("n"), F.sum("doc_id").alias("s")
+            ).collect()[0]
+            return int(row["n"]), int(row["s"])
+
+        as_of_2 = probe(io.read_snapshot(spark, 2))  # pre-delete original
+        current = probe(io.read(spark))
+        if probe(io.read_snapshot(spark, 4)) != current:
+            raise RuntimeError("latest snapshot must equal the current view")
+
+        # release history: expired snapshot becomes unreadable, not stale
+        io.expire_snapshots(keep_last=1)
+        io.gc_orphans(older_than=0)
+        try:
+            io.read_snapshot(spark, 2)
+            raise RuntimeError("expired snapshot 2 still readable after GC")
+        except FileNotFoundError:
+            pass
+        if probe(io.read(spark)) != current:
+            raise RuntimeError("current view changed across expire/GC")
+
+        return spark.createDataFrame(
+            [(2, as_of_2[0], as_of_2[1]), (4, current[0], current[1])],
+            "snapshot_id int, n_rows bigint, sum_doc_id bigint",
         )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)

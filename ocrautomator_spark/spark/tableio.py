@@ -50,19 +50,37 @@ class ParquetManifestIO:
         return json.loads(p.read_text()) if p.exists() else None
 
     # -- commit protocol: data first, manifest last, manifest rename atomic --
+    def _next_path(self, bucket: int) -> tuple[str, int]:
+        """Target directory + generation for the NEXT write of ``bucket``.
+        Committed data is immutable (Iceberg's file contract): a rewrite of
+        an already-committed bucket lands in a fresh generation directory,
+        never over the committed bytes — so a crash mid-rewrite can't tear
+        the committed generation, and older snapshots keep reading the
+        original files. Derived from the committed manifest, so the retry
+        of an UNCOMMITTED write resolves to the same directory (idempotent
+        overwrite)."""
+        m = self.bucket_manifest(bucket)
+        if m is None:
+            return str(self.data_dir / f"bucket={bucket:05d}"), 0
+        gen = int(m.get("gen", 0)) + 1
+        return str(self.data_dir / f"bucket={bucket:05d}.g{gen}"), gen
+
     def write_bucket_data(self, df: DataFrame, bucket: int) -> str:
         """Write a chunk's data files. NOT yet committed: until commit_bucket
         lands the manifest, a restart treats this bucket as not done and the
-        mode=overwrite write makes the retry idempotent."""
-        path = self.data_dir / f"bucket={bucket:05d}"
-        df.write.mode("overwrite").parquet(str(path))
-        return str(path)
+        mode=overwrite write makes the retry idempotent. Rewrites of a
+        committed bucket go to a new generation directory (_next_path)."""
+        path, _ = self._next_path(bucket)
+        df.write.mode("overwrite").parquet(path)
+        return path
 
     def commit_bucket(self, bucket: int, run_id: str, stats: dict[str, Any] | None = None) -> dict[str, Any]:
+        path, gen = self._next_path(bucket)
         manifest = {
             "bucket": bucket,
             "run_id": run_id,
-            "path": str(self.data_dir / f"bucket={bucket:05d}"),
+            "path": path,
+            "gen": gen,
             "committed_at": time.time(),
             **(stats or {}),
         }
@@ -70,6 +88,7 @@ class ParquetManifestIO:
         tmp = final.with_suffix(".json.tmp")
         tmp.write_text(json.dumps(manifest, indent=1))
         os.replace(tmp, final)  # atomic on POSIX: a manifest is all-or-nothing
+        self._append_snapshot("append", bucket)
         return manifest
 
     def write_bucket(self, df: DataFrame, bucket: int, run_id: str, stats: dict[str, Any] | None = None) -> None:
@@ -138,7 +157,92 @@ class ParquetManifestIO:
         tmp = final.with_suffix(".json.tmp")
         tmp.write_text(json.dumps(manifest, indent=1))
         os.replace(tmp, final)  # readers atomically switch generations here
+        self._append_snapshot("replace", bucket)
         return manifest
+
+    # -- snapshot log: table history + time travel (the Iceberg snapshot
+    # list / `VERSION AS OF` pair, rebuilt on the parquet twin) --
+    def _snapshot_log_path(self) -> pathlib.Path:
+        return self.manifest_dir / "_snapshots.jsonl"
+
+    def snapshots(self) -> list[dict[str, Any]]:
+        """Table history, oldest first. Same durability policy as
+        committed_buckets(): an unparsable line (the torn tail of a crash
+        mid-append) is skipped, never a crash — the snapshot log is derived
+        history, the per-bucket manifests remain the commit source of
+        truth."""
+        p = self._snapshot_log_path()
+        if not p.exists():
+            return []
+        out = []
+        for line in p.read_text().splitlines():
+            try:
+                rec = json.loads(line)
+                rec["snapshot_id"]
+                rec["state"]
+            except (ValueError, KeyError, TypeError, json.JSONDecodeError):
+                continue  # torn append never counts as a snapshot
+            out.append(rec)
+        return out
+
+    def _append_snapshot(self, op: str, bucket: int) -> dict[str, Any]:
+        """Record the post-commit table state (bucket → data path for every
+        committed bucket) as one appended JSON line. Runs AFTER the manifest
+        rename: a crash between the two leaves the manifests (truth) ahead
+        of the log (history) — readers are unaffected, only the history
+        entry is missing. The full-state-per-snapshot encoding is linear in
+        bucket count per commit; the production backend is Iceberg, whose
+        snapshot log shares manifest subtrees instead."""
+        snaps = self.snapshots()
+        rec = {
+            "snapshot_id": snaps[-1]["snapshot_id"] + 1 if snaps else 1,
+            "op": op,
+            "bucket": bucket,
+            "ts": time.time(),
+            "state": {str(m["bucket"]): m["path"] for m in self.manifests()},
+        }
+        p = self._snapshot_log_path()
+        with open(p, "ab") as f:
+            # newline-guard: a torn tail from a crashed append has no "\n";
+            # writing straight after it would corrupt THIS record too. One
+            # leading newline isolates the garbage to its own (skipped) line.
+            if f.tell() > 0:
+                with open(p, "rb") as r:
+                    r.seek(-1, 2)
+                    if r.read(1) != b"\n":
+                        f.write(b"\n")
+            f.write((json.dumps(rec) + "\n").encode())
+        return rec
+
+    def read_snapshot(self, spark: SparkSession, snapshot_id: int) -> DataFrame:
+        """Time-travel read: the table exactly as of ``snapshot_id``
+        (Iceberg ``VERSION AS OF``). Raises FileNotFoundError if the
+        snapshot was expired or its data files were garbage-collected."""
+        for rec in self.snapshots():
+            if rec["snapshot_id"] == snapshot_id:
+                paths = list(rec["state"].values())
+                if not paths:
+                    raise FileNotFoundError(f"snapshot {snapshot_id} is empty")
+                missing = [p for p in paths if not pathlib.Path(p).exists()]
+                if missing:
+                    raise FileNotFoundError(
+                        f"snapshot {snapshot_id} expired: missing {missing}"
+                    )
+                return spark.read.parquet(*paths)
+        raise FileNotFoundError(f"no snapshot {snapshot_id} under {self.root}")
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Drop all but the newest ``keep_last`` history entries (Iceberg
+        ``expire_snapshots``). The rewrite is atomic (tmp + os.replace).
+        Returns the number of expired entries. Files referenced only by
+        expired snapshots become GC-eligible — run gc_orphans() after."""
+        snaps = self.snapshots()
+        keep = snaps[-keep_last:] if keep_last > 0 else []
+        p = self._snapshot_log_path()
+        tmp = p.with_suffix(".jsonl.tmp")
+        tmp.write_text("".join(json.dumps(r) + "\n" for r in keep))
+        os.replace(tmp, p)
+        return len(snaps) - len(keep)
 
     def gc_orphans(self, older_than: float = 300.0) -> list[str]:
         """Remove data directories referenced by NO manifest: uncommitted
@@ -152,10 +256,16 @@ class ParquetManifestIO:
         ...)``, default 3 days there) protects in-flight writes: a directory
         whose newest mtime is within the window is skipped. Pass
         ``older_than=0`` only when no concurrent ingest can be running.
+        Directories referenced by any RETAINED snapshot are pinned — exactly
+        Iceberg's remove_orphan_files contract, where time travel stays
+        valid until ``expire_snapshots`` releases the old generations — so
+        the maintenance sequence is expire_snapshots() THEN gc_orphans().
         Returns the removed paths (the audit trail a production job logs)."""
         import shutil
 
         referenced = {m["path"] for m in self.manifests()}
+        for rec in self.snapshots():
+            referenced.update(rec["state"].values())
         now = time.time()
         removed = []
         for d in sorted(self.data_dir.glob("bucket=*")):

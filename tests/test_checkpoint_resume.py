@@ -107,6 +107,10 @@ def test_compaction_preserves_data_and_resume(spark, tmp_path):
 
     manifests = [io.compact_bucket(spark, b, "rc") for b in range(4)]
     assert io.gc_orphans() == []  # grace window: fresh dirs are never GC'd
+    # retained snapshots pin the pre-compaction generations (time travel
+    # stays valid); only after expiring history do they become orphans
+    assert io.gc_orphans(older_than=0) == []
+    io.expire_snapshots(keep_last=1)
     removed = io.gc_orphans(older_than=0)
     assert len(removed) == 4, removed  # the four pre-compaction generations
     assert all(m["files_after"] == 1 for m in manifests)
@@ -138,7 +142,64 @@ def test_maintenance_edge_cases(spark, tmp_path):
     m1 = io.compact_bucket(spark, 0, "rc1")
     m2 = io.compact_bucket(spark, 0, "rc2")
     assert (m1["gen"], m2["gen"]) == (1, 2)
+    io.expire_snapshots(keep_last=1)
     removed = io.gc_orphans(older_than=0)
     assert len(removed) == 2  # gen-0 dir + gen-1 dir of bucket 0
     assert io.gc_orphans(older_than=0) == []  # idempotent on a clean store
     assert _sorted_rows(io.read(spark)) == before
+
+
+# ------------------------------------------------- snapshot history / time travel
+
+def test_snapshot_time_travel_and_append_only_rewrites(spark, tmp_path):
+    """Every commit appends a snapshot; a rewrite of a committed bucket goes
+    to a NEW generation directory, so time travel to the pre-rewrite
+    snapshot returns the ORIGINAL rows byte-for-byte; expire + GC makes the
+    old snapshot unreadable (never silently stale) while the current view
+    is untouched."""
+    io = ParquetManifestIO(str(tmp_path / "store"))
+    df1 = spark.range(0, 100).withColumnRenamed("id", "v")
+    df2 = spark.range(100, 150).withColumnRenamed("id", "v")
+    io.write_bucket(df1, 0, "r1")   # snapshot 1
+    io.write_bucket(df2, 1, "r1")   # snapshot 2
+    assert [s["snapshot_id"] for s in io.snapshots()] == [1, 2]
+    assert [s["op"] for s in io.snapshots()] == ["append", "append"]
+
+    # delete-rewrite bucket 0: drop even values  -> snapshot 3, new gen dir
+    io.write_bucket(df1.filter("v % 2 = 1"), 0, "r2")
+    s3 = io.snapshots()[-1]
+    assert s3["snapshot_id"] == 3
+    assert s3["state"]["0"].endswith(".g1"), s3["state"]
+    assert io.snapshots()[0]["state"]["0"] != s3["state"]["0"]  # old files untouched
+
+    vals = lambda df: sorted(r["v"] for r in df.collect())  # noqa: E731
+    assert vals(io.read_snapshot(spark, 2)) == list(range(150))          # original
+    assert vals(io.read(spark)) == [v for v in range(150) if v >= 100 or v % 2 == 1]
+    assert vals(io.read_snapshot(spark, 3)) == vals(io.read(spark))
+
+    assert io.expire_snapshots(keep_last=1) == 2
+    removed = io.gc_orphans(older_than=0)
+    assert any(p.endswith("bucket=00000") for p in removed), removed  # old gen freed
+    with pytest.raises(FileNotFoundError):
+        io.read_snapshot(spark, 2)
+    assert vals(io.read(spark)) == [v for v in range(150) if v >= 100 or v % 2 == 1]
+
+
+def test_snapshot_log_torn_tail_and_manifest_truth(spark, tmp_path):
+    """A torn (half-written) snapshot-log line is skipped, never a crash,
+    and the next commit numbers past the retained entries; a crash BETWEEN
+    manifest rename and log append leaves read() (manifest truth) correct
+    even though the history entry is missing."""
+    io = ParquetManifestIO(str(tmp_path / "store"))
+    io.write_bucket(spark.range(10), 0, "r1")
+    with open(io._snapshot_log_path(), "a") as f:
+        f.write('{"snapshot_id": 99, "state"')  # torn append from a crash
+    assert [s["snapshot_id"] for s in io.snapshots()] == [1]
+    io.write_bucket(spark.range(10, 20), 1, "r1")
+    assert [s["snapshot_id"] for s in io.snapshots()] == [1, 2]
+
+    # crash between manifest rename and history append: drop the log line
+    lines = io._snapshot_log_path().read_text().splitlines(keepends=True)
+    io._snapshot_log_path().write_text("".join(l for l in lines if '"snapshot_id": 2' not in l))
+    assert [s["snapshot_id"] for s in io.snapshots()] == [1]
+    assert sorted(r["id"] for r in io.read(spark).collect()) == list(range(20))
