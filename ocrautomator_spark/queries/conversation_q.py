@@ -266,3 +266,86 @@ def conv_pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("chunk_chars"),
         )
     )
+
+
+# --------------------------------------------------------- tool-call chains
+
+# Agent-transcript tool analytics over the `tool` column of the input
+# schema (conv_id, turn_idx, role, text, tool, ts): tool-role turns carry a
+# deterministic tool name (event_id % N_TOOLS — engine-exact integer
+# arithmetic), and consecutive tool turns form CHAINS (an agent retrying /
+# composing tools before replying). Chain detection is the gaps-and-islands
+# idiom: turn_idx - row_number() over tool turns is constant within a
+# consecutive run.
+N_TOOLS = 3
+
+_TOOL_CHAINS_SQL = f"""
+    WITH t AS (
+      SELECT CAST(user_id AS VARCHAR) AS conv_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+             CASE WHEN event_type = 'error'
+                  THEN 'tool_' || CAST(event_id % {N_TOOLS} AS VARCHAR) END AS tool
+      FROM events
+    ),
+    tt AS (
+      SELECT conv_id, turn_idx, tool,
+             turn_idx - ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS chain
+      FROM t WHERE tool IS NOT NULL
+    ),
+    c AS (SELECT conv_id, chain, COUNT(*) AS clen FROM tt GROUP BY conv_id, chain)
+    SELECT tt.conv_id,
+           COUNT(*) AS n_tool_calls,
+           COUNT(DISTINCT tt.tool) AS n_distinct_tools,
+           COUNT(DISTINCT tt.chain) AS n_chains,
+           (SELECT MAX(clen) FROM c WHERE c.conv_id = tt.conv_id) AS max_chain_len
+    FROM tt GROUP BY tt.conv_id
+"""
+
+
+@q("conv_tool_chains", _TOOL_CHAINS_SQL)
+def conv_tool_chains(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-conversation tool-call analytics: how many tool invocations, how
+    many distinct tools, and how the calls group into consecutive CHAINS
+    (max chain length = the deepest uninterrupted tool-use run before the
+    agent replied). The op an agent-transcript pipeline runs to profile
+    tool-use behavior before curating training conversations.
+
+    Scale: the turn-numbering window, the chain-id window, and both
+    aggregates all partition on conv_id — ONE exchange for the whole entry
+    (the same reused conv_id partitioning the rest of the conversation
+    family rides); chain detection is gaps-and-islands arithmetic, no
+    self-join."""
+    ev = spark.read.schema(sj.EVENTS_SCHEMA).parquet(f"{sf}/events.parquet")
+    ev = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"), "ts", "event_id", "event_type"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "conv_id",
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.when(
+            F.col("event_type") == "error",
+            F.concat(F.lit("tool_"), (F.col("event_id") % N_TOOLS).cast("string")),
+        ).alias("tool"),
+    )
+    wt = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # chain-length via a (conv_id, chain) window, NOT a separate groupBy +
+    # join back: hashpartitioning(conv_id) already clusters (conv_id, chain),
+    # so the window adds no exchange. Distinct counts via size(collect_set)
+    # in the one final aggregate, NOT countDistinct: two distinct aggs would
+    # trigger the Expand rewrite and two more shuffles. Sets are bounded
+    # (N_TOOLS tools, chains <= turns per conversation).
+    wc = Window.partitionBy("conv_id", "chain")
+    tt = (
+        t.filter(F.col("tool").isNotNull())
+        .withColumn("chain", F.col("turn_idx") - F.row_number().over(wt))
+        .withColumn("clen", F.count("*").over(wc))
+    )
+    return tt.groupBy("conv_id").agg(
+        F.count("*").alias("n_tool_calls"),
+        F.size(F.collect_set("tool")).cast("long").alias("n_distinct_tools"),
+        F.size(F.collect_set("chain")).cast("long").alias("n_chains"),
+        F.max("clen").alias("max_chain_len"),
+    )

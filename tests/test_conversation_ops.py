@@ -136,3 +136,35 @@ def test_adapter_text_matches_oracle_on_null_props(spark, tmp_path):
     )
     assert spark_rows == oracle_rows
     assert spark_rows[1][2] == "view"  # NULL props → just the event type
+
+
+def test_tool_chains_invariants_and_single_exchange(spark):
+    """conv_tool_chains: gaps-and-islands invariants hold on the natural
+    corpus (chains partition the calls; the longest chain is between the
+    mean and the total), and the whole entry rides ONE conv_id exchange —
+    no Expand rewrite from countDistinct, no chain-stats join."""
+    import contextlib
+    import io
+    import re
+
+    from ocrautomator_spark.queries.conversation_q import QUERIES as CQ
+    from tests.conftest import SF_DIR
+
+    df = CQ["conv_tool_chains"](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert len(set(re.findall(r"hashpartitioning\([^)]*\)", plan))) == 1, plan
+    assert "Expand" not in plan
+    assert "Join" not in plan
+
+    rows = df.collect()
+    assert rows, "no conversations with tool calls — adapter mapping broke"
+    for r in rows:
+        assert 1 <= r["n_chains"] <= r["n_tool_calls"]
+        assert r["max_chain_len"] <= r["n_tool_calls"]
+        # chains partition the calls: max >= ceil(mean)
+        assert r["max_chain_len"] * r["n_chains"] >= r["n_tool_calls"]
+        assert 1 <= r["n_distinct_tools"] <= min(3, r["n_tool_calls"])
+    assert any(r["max_chain_len"] > 1 for r in rows), "no multi-call chain: vacuous"
