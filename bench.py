@@ -91,6 +91,8 @@ HEADLINE = [
     "ann_pq_sampled_topk",
     "join_range_binned",
     "graph_pagerank_topk",
+    "curation_lm_rarity",
+    "conv_tool_chains",
     "extract_flagship",
 ]
 HEADLINE_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_HREPS", "2"))
