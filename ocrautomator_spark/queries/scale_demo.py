@@ -12,7 +12,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ocrautomator_spark.queries.common import dsum, dsum_sql
+from ocrautomator_spark.queries.common import T, dsum, dsum_sql
 
 QUERIES = {}
 ORACLES = {}
@@ -139,4 +139,66 @@ def join_dpp_partitioned(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").alias("n"),
             dsum("o_totalprice").alias("sum_price"),
         )
+    )
+
+
+# ------------------------------------------------------- salted skew join
+
+# Deliberately skewed fact key: half of lineitem collapses onto supplier 0
+# (the hot key), the rest spreads over l_suppkey. The dim side is the real
+# supplier table — mid-sized, i.e. the regime where a production job uses a
+# SHUFFLE join and a hot fact key would put ~50% of the probe side into ONE
+# task. Salting is the classic fix: the fact side gets a deterministic salt
+# in [0, NSALT), the dim side is replicated once per salt value, and the
+# join key becomes (k, salt) — the hot key's rows spread across NSALT tasks
+# while every (fact row, dim match) still joins exactly once. The salt is
+# PHYSICAL only: the oracle is the plain unsalted join, which is what makes
+# this entry a gate on salting correctness, not just a demo.
+SKEWJ_NSALT = 8
+
+
+@q(
+    "join_skew_salted",
+    """
+    WITH f AS (SELECT CASE WHEN l_orderkey % 4 < 2 THEN 0 ELSE l_suppkey END AS k,
+                      l_quantity
+               FROM lineitem),
+    d AS (SELECT s_suppkey AS k, s_name AS attr FROM supplier)
+    SELECT f.k, d.attr, COUNT(*) AS n_rows, {DSUM} AS sum_qty
+    FROM f JOIN d ON f.k = d.k
+    GROUP BY f.k, d.attr
+    """.replace("{DSUM}", dsum_sql("f.l_quantity")),
+)
+def join_skew_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted shuffle join of a hot-keyed fact against a mid-sized dim,
+    gated against the plain unsalted join.
+
+    Scale: without salting, hashpartitioning(k) sends ~50% of the fact
+    table to the hot key's single reduce task — the canonical 100 TB
+    straggler. With the salt, partitioning is (k, salt): the hot key's rows
+    split NSALT ways (tests/test_scale_patterns.py asserts the max
+    (k, salt) group is ~1/NSALT of the hot key's rows and that the join
+    exchange carries the salt column), the dim side replicates only
+    NSALT× its own (small) size, and result equality to the unsalted
+    definition is the oracle gate. shuffle_hash hint pins the shuffle-join
+    regime the technique exists for (AQE would otherwise broadcast this
+    small dim and hide the mechanism; at the real dim sizes that force a
+    shuffle join, salting is the only defense AQE's skew handling cannot
+    apply to a partially-aggregated pipeline)."""
+    li = T(spark, sf, "lineitem")
+    sup = T(spark, sf, "supplier")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 4 < 2, F.lit(0))
+        .otherwise(F.col("l_suppkey"))
+        .alias("k"),
+        "l_quantity",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SKEWJ_NSALT)).alias("salt"),
+    )
+    dim = sup.select(F.col("s_suppkey").alias("k"), F.col("s_name").alias("attr"))
+    dim_rep = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SKEWJ_NSALT - 1)))
+    ).select("k", F.col("salt").cast("bigint").alias("salt"), "attr")
+    j = fact.join(dim_rep.hint("shuffle_hash"), ["k", "salt"])
+    return j.groupBy("k", "attr").agg(
+        F.count("*").alias("n_rows"), dsum("l_quantity").alias("sum_qty")
     )

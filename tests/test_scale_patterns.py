@@ -289,3 +289,40 @@ def test_substring_family_scale_guards(spark, tmp_path):
             f"{qname}: {pairs} pairs from a >MAX_DF boilerplate bucket — "
             "the stop-window guard did not cap the hot bucket"
         )
+
+
+def test_skew_salted_join_spreads_hot_key_and_keeps_salt_in_exchange(spark):
+    """join_skew_salted: the synthetic skew is real (hot key carries >=40%
+    of the fact side), the salt spreads the hot key's rows ~NSALT ways (no
+    single (k, salt) task carries more than ~1/NSALT of them), and the join
+    exchange partitions on (k, salt) with no broadcast fallback — the plan
+    a salted shuffle join must have at 100 TB."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from ocrautomator_spark.queries import scale_demo as sd
+    from tests.conftest import SF_DIR
+
+    df = sd.QUERIES["join_skew_salted"](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert "hashpartitioning(k" in plan and "salt" in plan
+
+    li = sd.T(spark, SF_DIR, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 4 < 2, F.lit(0)).otherwise(F.col("l_suppkey")).alias("k"),
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(sd.SKEWJ_NSALT)).alias("salt"),
+    )
+    total = fact.count()
+    hot = fact.filter("k = 0").count()
+    assert hot >= 0.4 * total, (hot, total)  # the skew is real, not vacuous
+    max_salted = (
+        fact.filter("k = 0").groupBy("salt").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_salted <= hot / sd.SKEWJ_NSALT * 1.3, (max_salted, hot)
