@@ -2426,11 +2426,10 @@ def _pq2_pyip(xs: list[float], ys: list[float]) -> float:
     return acc
 
 
-def _pq2_codes(spark: SparkSession, e: DataFrame):
-    """Shared stage of the sampled-codebook PQ entries: deterministic
-    md5-ranked codebook sample (bounded collect), broadcast-join code
-    assignment, ONE vec_id shuffle with conditional min-struct aggregates.
-    Returns (books, cssqs, codes_df) where codes_df = (vec_id, code0..7)."""
+def _pq2_train(e: DataFrame):
+    """Codebook training half of the sampled PQ pipeline: deterministic
+    md5-ranked sample (bounded PQ2_K-row collect) sliced into per-subspace
+    centroid lists. Returns (books, cssqs)."""
     sample = (
         e.orderBy(F.md5(F.encode(F.col("vec_id").cast("string"), "utf-8")), "vec_id")
         .limit(PQ2_K)
@@ -2440,6 +2439,23 @@ def _pq2_codes(spark: SparkSession, e: DataFrame):
         [list(r["v"][m * PQ_SUB : (m + 1) * PQ_SUB]) for r in sample] for m in range(PQ_M)
     ]
     cssqs = [[_pq2_pyssq(c) for c in books[m]] for m in range(PQ_M)]
+    return books, cssqs
+
+
+def _pq2_codes(spark: SparkSession, e: DataFrame):
+    """Shared stage of the sampled-codebook PQ entries: deterministic
+    md5-ranked codebook sample (bounded collect), broadcast-join code
+    assignment, ONE vec_id shuffle with conditional min-struct aggregates.
+    Returns (books, cssqs, codes_df) where codes_df = (vec_id, code0..7)."""
+    books, cssqs = _pq2_train(e)
+    return books, cssqs, _pq2_assign(spark, e, books, cssqs)
+
+
+def _pq2_assign(spark: SparkSession, e: DataFrame, books, cssqs) -> DataFrame:
+    """Code-assignment half: given FIXED codebooks (trained earlier, or read
+    back from the committed index artifact), assign 8-bit codes to every
+    vector of ``e`` — the step an incremental index append re-runs for new
+    vectors WITHOUT retraining."""
     # Assignment shape note (measured at sf0.1, local[32], warm): this
     # broadcast-join + groupBy runs ~8 s; the "obvious" shuffle-free shape —
     # inlining the 2048-centroid codebook as literal arrays inside a per-row
@@ -2452,7 +2468,7 @@ def _pq2_codes(spark: SparkSession, e: DataFrame):
         [
             (m, k + 1, books[m][k], cssqs[m][k])
             for m in range(PQ_M)
-            for k in range(len(sample))
+            for k in range(len(books[m]))
         ],
         "m int, k int, c array<double>, cssq double",
     )
@@ -2490,7 +2506,7 @@ def _pq2_codes(spark: SparkSession, e: DataFrame):
             for m in range(PQ_M)
         ]
     )
-    return books, cssqs, codes
+    return codes
 
 
 # ---- persisted PQ index artifact (VERDICT r5 item 1) ----
@@ -3417,3 +3433,149 @@ def mm_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
 
     d = T(spark, sf, "documents").select("doc_id", F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias("video"))
     return d.mapInPandas(sample_frames, "doc_id long, frame_idx int, ts_ms long, frame_hash string")
+
+
+# ---- incremental index append (codebooks frozen, codes appended) ----
+# The maintenance op a growing 100 TB corpus runs between full index
+# rebuilds: a new embedding batch arrives, the committed codebooks stay
+# FROZEN (retraining would invalidate every stored code), and only the
+# not-yet-coded vectors get codes, appended as a new committed bucket.
+# The "new batch" split is deterministic: vec_id % INCIDX_MOD == INCIDX_MOD-1.
+INCIDX_MOD = 5
+
+
+def _pq2_index_incremental_sql() -> str:
+    """DuckDB twin of ann_index_incremental: codebooks sampled from the BASE
+    split only (the batch that existed at build time), codes assigned to the
+    FULL corpus with those frozen books — exactly the state after the
+    incremental append — plus the per-subspace count of appended vectors."""
+    s = EMBED_DIM // PQ_M
+
+    def sub(v: str, m: str) -> str:
+        return f"{v}[{m}*{s}+1 : {m}*{s}+{s}]"
+
+    def _ssq(e: str) -> str:
+        return f"list_sum(list_transform({e}, x -> x * x))"
+
+    code_cols = ", ".join(
+        f"MIN(CASE WHEN m = {m} THEN [dist, CAST(k AS DOUBLE)] END)[2] AS code{m}"
+        for m in range(PQ_M)
+    )
+    code_case = " ".join(f"WHEN {m} THEN code{m}" for m in range(PQ_M))
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    smp AS (SELECT v, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS k
+            FROM e WHERE vec_id % {INCIDX_MOD} != {INCIDX_MOD - 1} QUALIFY k <= {PQ2_K}),
+    cb AS (SELECT m, k, {sub('v', 'm')} AS c, {_ssq(sub('v', 'm'))} AS cssq
+           FROM smp, UNNEST(generate_series(0, {PQ_M - 1})) AS u(m)),
+    ev AS (SELECT vec_id, m, {sub('v', 'm')} AS sv, {_ssq(sub('v', 'm'))} AS ssq
+           FROM e, UNNEST(generate_series(0, {PQ_M - 1})) AS u(m)),
+    dj AS (SELECT ev.vec_id, ev.m, cb.k,
+                  (ev.ssq - 2 * list_inner_product(ev.sv, cb.c) + cb.cssq) AS dist
+           FROM ev JOIN cb ON ev.m = cb.m),
+    codes AS (SELECT vec_id, {code_cols} FROM dj GROUP BY vec_id),
+    cl AS (SELECT vec_id, m, CAST(CASE m {code_case} END AS INT) AS code
+           FROM codes, UNNEST(generate_series(0, {PQ_M - 1})) AS u(m))
+    SELECT m, COUNT(DISTINCT code) AS n_codes_used,
+           CAST(SUM(code) AS BIGINT) AS code_sum,
+           COUNT(*) AS n_vectors,
+           COUNT_IF(vec_id % {INCIDX_MOD} = {INCIDX_MOD - 1}) AS n_new
+    FROM cl GROUP BY m
+    """
+
+
+@q("ann_index_incremental", _pq2_index_incremental_sql())
+def ann_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental PQ index append: build the base index over the existing
+    corpus (codebooks + codes committed via the manifest protocol), then a
+    new embedding batch arrives and ONLY the not-yet-coded vectors — found
+    by a left-anti join against the COMMITTED code set — are assigned codes
+    with the codebooks READ BACK from the committed artifact (frozen, never
+    retrained) and appended as a second committed bucket. The gate
+    aggregates per-subspace stats from the combined READ-BACK store, so a
+    torn append, a drifted codebook round-trip, or a dropped/duplicated
+    vector is a hash mismatch against the oracle's from-scratch derivation.
+
+    Scale: the anti-join shuffles only vec_id (fixed-width), assignment
+    touches only the NEW batch (the point of incremental maintenance —
+    append cost is O(batch), not O(corpus)), and the append is one atomic
+    bucket commit, crash-safe like every other write in the store."""
+    import os
+    import shutil
+    import tempfile
+
+    from ocrautomator_spark.spark.tableio import ParquetManifestIO
+
+    scratch = tempfile.mkdtemp(prefix="ocras_pqinc_")
+    try:
+        cb_io = ParquetManifestIO(os.path.join(scratch, "codebook"))
+        codes_io = ParquetManifestIO(os.path.join(scratch, "codes"))
+        e_all = T(spark, sf, "embeddings").select(
+            "vec_id", _as_double("embedding").alias("v")
+        )
+        base = e_all.filter(F.col("vec_id") % INCIDX_MOD != INCIDX_MOD - 1)
+        books, cssqs = _pq2_train(base)
+        cb_io.write_bucket(
+            spark.createDataFrame(
+                [
+                    (m, k + 1, books[m][k], cssqs[m][k])
+                    for m in range(PQ_M)
+                    for k in range(len(books[m]))
+                ],
+                "m int, k int, c array<double>, cssq double",
+            ),
+            0,
+            "incidx-base",
+        )
+        codes_io.write_bucket(_pq2_assign(spark, base, books, cssqs), 0, "incidx-base")
+
+        # --- later: the new batch arrives. Everything below reads ONLY the
+        # committed artifact (no reuse of the in-memory training state).
+        cb_rows = sorted(cb_io.read(spark).collect(), key=lambda r: (r["m"], r["k"]))
+        books_rb = [[] for _ in range(PQ_M)]
+        cssqs_rb = [[] for _ in range(PQ_M)]
+        for r in cb_rows:
+            books_rb[r["m"]].append(list(r["c"]))
+            cssqs_rb[r["m"]].append(r["cssq"])
+        new_vecs = e_all.join(
+            codes_io.read(spark).select("vec_id"), "vec_id", "left_anti"
+        )
+        codes_io.write_bucket(
+            _pq2_assign(spark, new_vecs, books_rb, cssqs_rb), 1, "incidx-append"
+        )
+
+        combined = codes_io.read(spark)
+        is_new = (F.col("vec_id") % INCIDX_MOD == INCIDX_MOD - 1).cast("long")
+        cl = combined.select(
+            "vec_id",
+            is_new.alias("is_new"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"), F.col(f"code{m}").cast("int").alias("code")
+                        )
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("s"),
+        ).select("is_new", F.col("s.m").alias("m"), F.col("s.code").alias("code"))
+        # materialize (PQ_M rows, bounded) BEFORE tearing down the scratch
+        # store the lazy plan reads from — the lifecycle_compact_stats rule
+        rows = (
+            cl.groupBy("m")
+            .agg(
+                F.countDistinct("code").alias("n_codes_used"),
+                F.sum("code").cast("long").alias("code_sum"),
+                F.count("*").alias("n_vectors"),
+                F.sum("is_new").alias("n_new"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            [(r["m"], r["n_codes_used"], r["code_sum"], r["n_vectors"], r["n_new"]) for r in rows],
+            "m int, n_codes_used bigint, code_sum bigint, n_vectors bigint, n_new bigint",
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)

@@ -913,3 +913,25 @@ def test_pq_index_builds_once_and_queries_read_artifact(spark):
         r.asDict() for r in po.QUERIES["ann_pq_sampled_topk"](spark, SF_DIR).collect()
     ]
     assert len(sampled) == po.ANN_K and len(batch) == po.ANN_BATCH_QUERIES * po.ANN_K
+
+
+def test_ann_index_incremental_appends_only_the_new_batch(spark):
+    """The incremental entry's append bucket must contain EXACTLY the new
+    batch (cost O(batch), not O(corpus)) and every vector exactly once in
+    the combined store — the properties that make it incremental
+    maintenance rather than a disguised rebuild."""
+    import importlib
+
+    po = importlib.import_module("ocrautomator_spark.queries.pipeline_ops")
+    from tests.conftest import SF_DIR
+
+    rows = {r["m"]: r for r in po.QUERIES["ann_index_incremental"](spark, SF_DIR).collect()}
+    e = po.T(spark, SF_DIR, "embeddings")
+    n_all = e.count()
+    n_new = e.filter(f"vec_id % {po.INCIDX_MOD} = {po.INCIDX_MOD - 1}").count()
+    assert n_new > 0, "new-batch split vacuously empty"
+    assert len(rows) == po.PQ_M
+    for r in rows.values():
+        assert r["n_vectors"] == n_all  # every vector coded exactly once
+        assert r["n_new"] == n_new      # the appended bucket IS the new batch
+        assert 1 <= r["n_codes_used"] <= po.PQ2_K
