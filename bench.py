@@ -227,6 +227,27 @@ def _ceiling_work(args: tuple[int, int]) -> float:
     return hi - lo
 
 
+def _membw_probe() -> float:
+    """Single-thread memory-bandwidth probe (GB/s): one uint64 cumsum pass
+    over a 256 MB array (~512 MB of traffic). Diagnostic only — a co-tenant
+    can saturate the socket's memory bandwidth while leaving ALU throughput
+    near-nominal, which slows the numpy/pandas-UDF query paths (e.g. the RK
+    substring scan) 5-10x while JVM codegen paths barely move. Recording
+    the per-window value lets a reader separate 'repo regression' from
+    'bandwidth-stolen window' (see CLAUDE.md r6 noise-diagnosis note)."""
+    import numpy as np
+
+    a = np.arange(32_000_000, dtype=np.uint64)
+    out = np.empty_like(a)
+    np.cumsum(a, out=out)  # untimed warmup: faults both arrays in
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.cumsum(a, out=out)
+        best = min(best, time.perf_counter() - t0)
+    return a.nbytes * 2 / best / 1e9
+
+
 def _ceiling_run(nproc: int) -> float:
     """Turns/sec of the bare kernel in ``nproc`` pinned fork workers."""
     from multiprocessing import get_context
@@ -265,11 +286,13 @@ class _CeilingControl:
         _CEILING_TEXTS = texts[:CEILING_TURNS]
         self.turns = len(_CEILING_TEXTS)
         self.tps: dict[int, float] = {SMALL_CORES: 0.0, BIG_CORES: 0.0}
+        self.membw: list[float] = []
         self.reps = 0
 
     def rep(self) -> None:
         for cores in (SMALL_CORES, BIG_CORES):
             self.tps[cores] = max(self.tps[cores], _ceiling_run(cores))
+        self.membw.append(round(_membw_probe(), 2))
         self.reps += 1
 
     def result(self) -> dict:
@@ -284,6 +307,10 @@ class _CeilingControl:
             "tps_small": round(self.tps[SMALL_CORES], 1),
             "tps_big": round(self.tps[BIG_CORES], 1),
             "efficiency": round(eff, 3),
+            "membw_gbps": {
+                "best": max(self.membw) if self.membw else None,
+                "worst": min(self.membw) if self.membw else None,
+            },
         }
 
 
