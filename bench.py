@@ -389,13 +389,15 @@ def main() -> None:
     # r6 gate inversion (VERDICT r5 item 3): headline minhash walls above are
     # the xxhash64 production default; record the md5 ORACLE-mode walls next
     # to them so the md5-for-oracle-ability cost stays a measured quantity.
-    # Save/restore the caller's env (ADVICE r5) and assert the headline sweep
-    # could not have silently run in oracle mode.
+    # Save/restore the caller's env (ADVICE r5) and verify the headline sweep
+    # could not have silently run in oracle mode. raise, not assert: the
+    # guard must survive `python -O` (the round-5 integrity-gate rule).
     _ORACLE_ENV = "SPARK_GRAFT_MINHASH_ORACLE"
-    assert os.environ.get(_ORACLE_ENV) != "1", (
-        "SPARK_GRAFT_MINHASH_ORACLE=1 was exported before bench.py ran — the "
-        "headline minhash walls would have measured oracle mode; unset it"
-    )
+    if os.environ.get(_ORACLE_ENV) == "1":
+        raise RuntimeError(
+            "SPARK_GRAFT_MINHASH_ORACLE=1 was exported before bench.py ran — the "
+            "headline minhash walls would have measured oracle mode; unset it"
+        )
     _prior = os.environ.get(_ORACLE_ENV)
     os.environ[_ORACLE_ENV] = "1"
     try:

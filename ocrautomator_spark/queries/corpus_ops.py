@@ -553,7 +553,7 @@ def lifecycle_time_travel(spark: SparkSession, sf: str) -> DataFrame:
 
     The entry runs the full history lifecycle against a scratch store:
     ingest documents as two parity buckets (snapshots 1-2), rewrite bucket
-    0 without the doc_id % {mod} == 0 rows — a GDPR-style delete —
+    0 without the doc_id % TT_DELETE_MOD == 0 rows — a GDPR-style delete —
     (snapshot 3), compact bucket 1 (snapshot 4), then read the table AS OF
     snapshot 2 (the pre-delete original) and AS OF the current snapshot,
     returning row counts + exact doc_id checksums for both. The oracle

@@ -2524,6 +2524,31 @@ _PQ2_BOOK_CACHE: dict[str, tuple] = {}  # store root -> (books, cssqs) read-back
 _PQ2_BUILD_COUNT = {"n": 0}  # test hook: how many times training actually ran
 
 
+def _pq2_cb_df(spark: SparkSession, books, cssqs) -> DataFrame:
+    """The ONE artifact row encoding for codebooks — (m, k 1-based, centroid,
+    cssq) — shared by the full build and the incremental append so the
+    schema and k convention cannot drift between writer sites."""
+    return spark.createDataFrame(
+        [
+            (m, k + 1, books[m][k], cssqs[m][k])
+            for m in range(PQ_M)
+            for k in range(len(books[m]))
+        ],
+        "m int, k int, c array<double>, cssq double",
+    )
+
+
+def _pq2_cb_from_rows(rows) -> tuple[list, list]:
+    """Inverse of _pq2_cb_df: rebuild (books, cssqs) from read-back artifact
+    rows (any order; sorted here by the (m, k) convention)."""
+    books = [[] for _ in range(PQ_M)]
+    cssqs = [[] for _ in range(PQ_M)]
+    for r in sorted(rows, key=lambda r: (r["m"], r["k"])):
+        books[r["m"]].append(list(r["c"]))
+        cssqs[r["m"]].append(r["cssq"])
+    return books, cssqs
+
+
 def _pq2_store_root(sf: str) -> str:
     import atexit
     import os
@@ -2555,29 +2580,14 @@ def _pq2_index(spark: SparkSession, sf: str):
         e = T(spark, sf, "embeddings").select("vec_id", _as_double("embedding").alias("v"))
         books, cssqs, codes = _pq2_codes(spark, e)
         _PQ2_BUILD_COUNT["n"] += 1
-        cb_df = spark.createDataFrame(
-            [
-                (m, k + 1, books[m][k], cssqs[m][k])
-                for m in range(PQ_M)
-                for k in range(len(books[m]))
-            ],
-            "m int, k int, c array<double>, cssq double",
-        )
-        cb_io.write_bucket(cb_df, 0, "pq-index-build")
+        cb_io.write_bucket(_pq2_cb_df(spark, books, cssqs), 0, "pq-index-build")
         codes_io.write_bucket(codes, 0, "pq-index-build")
         _PQ2_BOOK_CACHE.pop(root, None)
     if root not in _PQ2_BOOK_CACHE:
-        cb_rows = sorted(
-            cb_io.read(spark).collect(), key=lambda r: (r["m"], r["k"])
-        )  # bounded: PQ_M × PQ2_K rows; doubles round-trip parquet bit-exactly
-        books = [[] for _ in range(PQ_M)]
-        cssqs = [[] for _ in range(PQ_M)]
-        for r in cb_rows:
-            books[r["m"]].append(list(r["c"]))
-            cssqs[r["m"]].append(r["cssq"])
-        # memoize the BOUNDED read-back (PQ_M×PQ2_K rows) per store root so a
-        # query session pays the collect once — codes stay distributed
-        _PQ2_BOOK_CACHE[root] = (books, cssqs)
+        # bounded: PQ_M × PQ2_K rows; doubles round-trip parquet bit-exactly.
+        # Memoized per store root so a query session pays the collect once —
+        # codes stay distributed.
+        _PQ2_BOOK_CACHE[root] = _pq2_cb_from_rows(cb_io.read(spark).collect())
     books, cssqs = _PQ2_BOOK_CACHE[root]
     return books, cssqs, codes_io.read(spark)
 
@@ -3516,28 +3526,12 @@ def ann_index_incremental(spark: SparkSession, sf: str) -> DataFrame:
         )
         base = e_all.filter(F.col("vec_id") % INCIDX_MOD != INCIDX_MOD - 1)
         books, cssqs = _pq2_train(base)
-        cb_io.write_bucket(
-            spark.createDataFrame(
-                [
-                    (m, k + 1, books[m][k], cssqs[m][k])
-                    for m in range(PQ_M)
-                    for k in range(len(books[m]))
-                ],
-                "m int, k int, c array<double>, cssq double",
-            ),
-            0,
-            "incidx-base",
-        )
+        cb_io.write_bucket(_pq2_cb_df(spark, books, cssqs), 0, "incidx-base")
         codes_io.write_bucket(_pq2_assign(spark, base, books, cssqs), 0, "incidx-base")
 
         # --- later: the new batch arrives. Everything below reads ONLY the
         # committed artifact (no reuse of the in-memory training state).
-        cb_rows = sorted(cb_io.read(spark).collect(), key=lambda r: (r["m"], r["k"]))
-        books_rb = [[] for _ in range(PQ_M)]
-        cssqs_rb = [[] for _ in range(PQ_M)]
-        for r in cb_rows:
-            books_rb[r["m"]].append(list(r["c"]))
-            cssqs_rb[r["m"]].append(r["cssq"])
+        books_rb, cssqs_rb = _pq2_cb_from_rows(cb_io.read(spark).collect())
         new_vecs = e_all.join(
             codes_io.read(spark).select("vec_id"), "vec_id", "left_anti"
         )

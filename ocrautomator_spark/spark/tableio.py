@@ -30,10 +30,19 @@ class ParquetManifestIO:
     """Parquet data + atomic per-chunk JSON manifests under one root dir."""
 
     def __init__(self, root: str) -> None:
+        import threading
+
         self.root = pathlib.Path(root)
         self.data_dir = self.root / "data"
         self.manifest_dir = self.root / "_manifests"
         self.manifest_dir.mkdir(parents=True, exist_ok=True)
+        # serializes the snapshot log's read-modify-append: per-bucket
+        # manifests are disjoint files (commit_bucket was thread-safe before
+        # the shared log existed), but concurrent commits through ONE store
+        # instance — run_pipeline(max_concurrent>1) / submit --concurrency —
+        # would otherwise both read last_id and append duplicate snapshot
+        # ids. Cross-PROCESS writers are out of scope, as for the manifests.
+        self._snap_lock = threading.Lock()
 
     # -- resume state (A10) --
     def committed_buckets(self) -> set[int]:
@@ -193,25 +202,27 @@ class ParquetManifestIO:
         entry is missing. The full-state-per-snapshot encoding is linear in
         bucket count per commit; the production backend is Iceberg, whose
         snapshot log shares manifest subtrees instead."""
-        snaps = self.snapshots()
-        rec = {
-            "snapshot_id": snaps[-1]["snapshot_id"] + 1 if snaps else 1,
-            "op": op,
-            "bucket": bucket,
-            "ts": time.time(),
-            "state": {str(m["bucket"]): m["path"] for m in self.manifests()},
-        }
-        p = self._snapshot_log_path()
-        with open(p, "ab") as f:
-            # newline-guard: a torn tail from a crashed append has no "\n";
-            # writing straight after it would corrupt THIS record too. One
-            # leading newline isolates the garbage to its own (skipped) line.
-            if f.tell() > 0:
-                with open(p, "rb") as r:
-                    r.seek(-1, 2)
-                    if r.read(1) != b"\n":
-                        f.write(b"\n")
-            f.write((json.dumps(rec) + "\n").encode())
+        with self._snap_lock:
+            snaps = self.snapshots()
+            rec = {
+                "snapshot_id": snaps[-1]["snapshot_id"] + 1 if snaps else 1,
+                "op": op,
+                "bucket": bucket,
+                "ts": time.time(),
+                "state": {str(m["bucket"]): m["path"] for m in self.manifests()},
+            }
+            p = self._snapshot_log_path()
+            with open(p, "ab") as f:
+                # newline-guard: a torn tail from a crashed append has no
+                # "\n"; writing straight after it would corrupt THIS record
+                # too. One leading newline isolates the garbage to its own
+                # (skipped) line.
+                if f.tell() > 0:
+                    with open(p, "rb") as r:
+                        r.seek(-1, 2)
+                        if r.read(1) != b"\n":
+                            f.write(b"\n")
+                f.write((json.dumps(rec) + "\n").encode())
         return rec
 
     def read_snapshot(self, spark: SparkSession, snapshot_id: int) -> DataFrame:
@@ -236,12 +247,13 @@ class ParquetManifestIO:
         ``expire_snapshots``). The rewrite is atomic (tmp + os.replace).
         Returns the number of expired entries. Files referenced only by
         expired snapshots become GC-eligible — run gc_orphans() after."""
-        snaps = self.snapshots()
-        keep = snaps[-keep_last:] if keep_last > 0 else []
-        p = self._snapshot_log_path()
-        tmp = p.with_suffix(".jsonl.tmp")
-        tmp.write_text("".join(json.dumps(r) + "\n" for r in keep))
-        os.replace(tmp, p)
+        with self._snap_lock:
+            snaps = self.snapshots()
+            keep = snaps[-keep_last:] if keep_last > 0 else []
+            p = self._snapshot_log_path()
+            tmp = p.with_suffix(".jsonl.tmp")
+            tmp.write_text("".join(json.dumps(r) + "\n" for r in keep))
+            os.replace(tmp, p)
         return len(snaps) - len(keep)
 
     def gc_orphans(self, older_than: float = 300.0) -> list[str]:

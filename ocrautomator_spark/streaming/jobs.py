@@ -181,22 +181,12 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def interval_join_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream inner INTERVAL join (§2B streaming family): each 'view'
-    event joins the same user's 'click' events landing in
-    [view_ts, view_ts + 30 min).
-
-    Spark requires exactly what this supplies for state eviction: a
-    watermark on BOTH sides plus a time-range join condition, so the state
-    store can discard a buffered view once the click-side watermark passes
-    view_ts + 30 min (and vice versa). Inner-join output is append-mode.
-
-    Determinism contract: with the whole input in one microbatch the
-    watermark only advances AFTER the batch, so no state is evicted before
-    every match is found and the result equals the batch interval join —
-    which is the registered DuckDB oracle. ``expect_single_batch`` turns a
-    future trigger-config change into an explicit contract error (same
-    pinning as streaming_dedup_incremental, ADVICE r5)."""
+def _interval_join_stream(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
+    """Shared builder for the inner/leftOuter interval-join twins: sources,
+    two-sided watermarks, the time-range join condition, and the output
+    projection are defined ONCE so the twins cannot drift (a one-sided edit
+    to the interval width or watermark delay would otherwise silently
+    desynchronize them while both oracles keep passing)."""
     views = (
         events_stream(spark, sf_dir)
         .where(F.col("event_type") == "view")
@@ -222,7 +212,7 @@ def interval_join_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") == F.col("click_user_id"))
         & (F.col("click_ts") >= F.col("view_ts"))
         & (F.col("click_ts") < F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
-        "inner",
+        how,
     )
     return run_to_memory(
         joined,
@@ -236,6 +226,25 @@ def interval_join_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         expect_single_batch=True,
     )
+
+
+def interval_join_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner INTERVAL join (§2B streaming family): each 'view'
+    event joins the same user's 'click' events landing in
+    [view_ts, view_ts + 30 min).
+
+    Spark requires exactly what this supplies for state eviction: a
+    watermark on BOTH sides plus a time-range join condition, so the state
+    store can discard a buffered view once the click-side watermark passes
+    view_ts + 30 min (and vice versa). Inner-join output is append-mode.
+
+    Determinism contract: with the whole input in one microbatch the
+    watermark only advances AFTER the batch, so no state is evicted before
+    every match is found and the result equals the batch interval join —
+    which is the registered DuckDB oracle. ``expect_single_batch`` turns a
+    future trigger-config change into an explicit contract error (same
+    pinning as streaming_dedup_incremental, ADVICE r5)."""
+    return _interval_join_stream(spark, sf_dir, "inner")
 
 
 def interval_join_view_click_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,45 +271,7 @@ def interval_join_view_click_outer(spark: SparkSession, sf_dir: str) -> DataFram
     buffered when the bounded harness run ends. The registered DuckDB
     oracle reproduces that boundary in SQL, so the parity gate pins the
     eviction semantics, not just the match set."""
-    views = (
-        events_stream(spark, sf_dir)
-        .where(F.col("event_type") == "view")
-        .select(
-            "user_id",
-            F.col("event_id").alias("view_eid"),
-            F.col("ts").alias("view_ts"),
-        )
-        .withWatermark("view_ts", "1 hour")
-    )
-    clicks = (
-        events_stream(spark, sf_dir)
-        .where(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("click_user_id"),
-            F.col("event_id").alias("click_eid"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", "1 hour")
-    )
-    joined = views.join(
-        clicks,
-        (F.col("user_id") == F.col("click_user_id"))
-        & (F.col("click_ts") >= F.col("view_ts"))
-        & (F.col("click_ts") < F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
-        "leftOuter",
-    )
-    return run_to_memory(
-        joined,
-        "append",
-        lambda df: df.select(
-            "user_id",
-            "view_eid",
-            "click_eid",
-            F.unix_micros("view_ts").alias("view_ts_us"),
-            F.unix_micros("click_ts").alias("click_ts_us"),
-        ),
-        expect_single_batch=True,
-    )
+    return _interval_join_stream(spark, sf_dir, "leftOuter")
 
 
 def stateful_counters(spark: SparkSession, sf_dir: str) -> DataFrame:

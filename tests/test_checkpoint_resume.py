@@ -203,3 +203,20 @@ def test_snapshot_log_torn_tail_and_manifest_truth(spark, tmp_path):
     io._snapshot_log_path().write_text("".join(l for l in lines if '"snapshot_id": 2' not in l))
     assert [s["snapshot_id"] for s in io.snapshots()] == [1]
     assert sorted(r["id"] for r in io.read(spark).collect()) == list(range(20))
+
+
+def test_snapshot_log_concurrent_commits_unique_ids(spark, tmp_path):
+    """Concurrent commit_bucket calls through one store instance (the
+    run_pipeline max_concurrent / submit --concurrency path) must yield
+    strictly unique, gap-free snapshot ids — the read-modify-append on the
+    shared log is serialized by the instance lock."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    io = ParquetManifestIO(str(tmp_path / "store"))
+    df = spark.range(5)
+    for b in range(16):
+        io.write_bucket_data(df, b)
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(lambda b: io.commit_bucket(b, "rc"), range(16)))
+    ids = [s["snapshot_id"] for s in io.snapshots()]
+    assert ids == list(range(1, 17)), ids
