@@ -248,6 +248,31 @@ def _membw_probe() -> float:
     return a.nbytes * 2 / best / 1e9
 
 
+def _membw_worker(_i: int) -> float:
+    import numpy as np
+
+    a = np.arange(16_000_000, dtype=np.uint64)
+    out = np.empty_like(a)
+    np.cumsum(a, out=out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.cumsum(a, out=out)
+        best = min(best, time.perf_counter() - t0)
+    return a.nbytes * 2 / best / 1e9
+
+
+def _membw_agg_probe(nproc: int = 8) -> float:
+    """AGGREGATE bandwidth (GB/s) across ``nproc`` fork workers. The
+    single-thread probe cannot detect socket-bandwidth saturation (one
+    stream never saturates a socket); the aggregate number is what a
+    16-way extract side actually competes for."""
+    from multiprocessing import get_context
+
+    with get_context("fork").Pool(nproc) as p:
+        return round(sum(p.map(_membw_worker, range(nproc))), 1)
+
+
 def _ceiling_run(nproc: int) -> float:
     """Turns/sec of the bare kernel in ``nproc`` pinned fork workers."""
     from multiprocessing import get_context
@@ -287,12 +312,14 @@ class _CeilingControl:
         self.turns = len(_CEILING_TEXTS)
         self.tps: dict[int, float] = {SMALL_CORES: 0.0, BIG_CORES: 0.0}
         self.membw: list[float] = []
+        self.membw_agg: list[float] = []
         self.reps = 0
 
     def rep(self) -> None:
         for cores in (SMALL_CORES, BIG_CORES):
             self.tps[cores] = max(self.tps[cores], _ceiling_run(cores))
         self.membw.append(round(_membw_probe(), 2))
+        self.membw_agg.append(_membw_agg_probe())
         self.reps += 1
 
     def result(self) -> dict:
@@ -310,6 +337,10 @@ class _CeilingControl:
             "membw_gbps": {
                 "best": max(self.membw) if self.membw else None,
                 "worst": min(self.membw) if self.membw else None,
+            },
+            "membw_agg8_gbps": {
+                "best": max(self.membw_agg) if self.membw_agg else None,
+                "worst": min(self.membw_agg) if self.membw_agg else None,
             },
         }
 
