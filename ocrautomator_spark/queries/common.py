@@ -10,6 +10,31 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def T_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``T`` plus a scan-parallelism guard for compute-heavy consumers.
+
+    A parquet file with a single row group is an unsplittable input: the
+    whole scan — and every per-row expression Catalyst fuses into the scan
+    stage (digest hashing, decimal casts, array HOFs, partial aggregation,
+    pandas UDFs) — runs as ONE task no matter how many cores the cluster
+    has (the optimization guide's §2.5 "one huge unsplittable file" case:
+    repartition immediately after the read). When the scan yields fewer
+    partitions than the cluster's parallelism, round-robin repartition so
+    downstream per-row compute uses every core; the shuffle moves only the
+    raw table bytes, orders of magnitude less than the work it unlocks.
+
+    Size-adaptive by construction, not a local-mode constant: on a real
+    multi-file/multi-row-group table the scan already splits past
+    ``defaultParallelism`` and this is a no-op decision. Use for entries
+    whose scan stage carries real per-row compute; plain scans keep ``T``.
+    """
+    df = T(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dsum(col: Column | str) -> Column:
     """Order-independent exact sum of a double expression: accumulate as
     DECIMAL(30,10), return as double. Matches the DSUM SQL macro below."""

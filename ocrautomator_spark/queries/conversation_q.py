@@ -66,6 +66,12 @@ def events_as_transcripts(spark: SparkSession, sf: str) -> DataFrame:
         "event_type",
         "props",
     )
+    # pin the family's ONE exchange at an explicit partition count (r7):
+    # windows are compute-heavy per byte and AQE's bytes-only coalescing
+    # folded this tiny-but-hot stage onto one core. repartition on the SAME
+    # key the windows partition by adds no exchange — it IS the family's
+    # shared exchange (the plan test still counts exactly one).
+    ev = ev.repartition(ev.sparkSession.sparkContext.defaultParallelism, "conv_id")
     w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
     return ev.select(
         "conv_id",

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ocrautomator_spark.queries.common import T
+from ocrautomator_spark.queries.common import T, T_par
 from ocrautomator_spark.queries.pipeline_ops import (
     _CC_EDGES_SQL,
     _cc_min_label,
@@ -333,7 +333,7 @@ def search_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     stats (N, avgdl, per-term df) reduce to ONE broadcast row, scoring is a
     second narrow map, and the only ordering work is TakeOrderedAndProject
     on (score, doc_id) — a single corpus pass end to end."""
-    docs = T(spark, sf, "documents").select(
+    docs = T_par(spark, sf, "documents").select(
         "doc_id", F.split("text", " ").alias("words")
     )
 
@@ -342,11 +342,16 @@ def search_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         # array INDEX as its second argument from F.filter
         return F.size(F.filter("words", lambda w: w == F.lit(term)))
 
+    # localCheckpoint (r7): ``d`` has two consumers — the corpus-stats
+    # aggregate and the scoring pass — and with no exchange between scan and
+    # agg there is nothing for ReusedExchange to share, so without a barrier
+    # the split+tf HOF corpus scan runs twice. The barrier stores only
+    # (doc_id, dl, tf0..tfk): one text scan instead of two, at any scale.
     d = docs.select(
         "doc_id",
         F.size("words").alias("dl"),
         *[tf(t).alias(f"tf{i}") for i, t in enumerate(BM25_TERMS)],
-    )
+    ).localCheckpoint()
     nterms = len(BM25_TERMS)
     g = d.agg(
         F.count(F.lit(1)).alias("n"),

@@ -47,12 +47,18 @@ US_PER_DAY = 86_400_000_000
 
 def _events(spark: SparkSession, sf: str) -> DataFrame:
     ev = spark.read.schema(sj.EVENTS_SCHEMA).parquet(f"{sf}/events.parquet")
-    return ev.select(
+    ev = ev.select(
         "user_id",
         "event_id",
         "event_type",
         F.unix_micros("ts").alias("t"),
     )
+    # pin the family's ONE user_id exchange at an explicit count (r7): the
+    # per-user windows/aggregates are compute-heavy per byte and AQE's
+    # bytes-only coalescing folded them onto one core; a keyed repartition
+    # IS that exchange (hashpartitioning(user_id) still satisfies every
+    # downstream clustering), with a count AQE leaves alone.
+    return ev.repartition(spark.sparkContext.defaultParallelism, "user_id")
 
 
 _SQL_E = "SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events"

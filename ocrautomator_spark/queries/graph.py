@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ocrautomator_spark.queries.common import T
+from ocrautomator_spark.queries.common import T, T_par
 
 QUERIES = {}
 ORACLES = {}
@@ -87,7 +87,9 @@ def graph_pagerank_topk(spark: SparkSession, sf: str) -> DataFrame:
     every node both sends and receives mass, so no dangling/isolated-node
     correction terms are needed and the inner joins are lossless.
     """
-    o, li = T(spark, sf, "orders"), T(spark, sf, "lineitem")
+    # T_par (r7): the orders |x| lineitem probe + distinct partials fuse
+    # into the lineitem scan stage — single-row-group input = one core
+    o, li = T_par(spark, sf, "orders"), T_par(spark, sf, "lineitem")
     pairs = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
@@ -101,9 +103,18 @@ def graph_pagerank_topk(spark: SparkSession, sf: str) -> DataFrame:
     # materialize once behind an explicit barrier instead of re-running the
     # orders|x|lineitem join per consumer (the round-5 reused-exchange
     # lesson: count the subtree's consumers before relying on plan reuse).
-    edges = pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    # r7: symmetrize by exploding each pair into its two directions in ONE
+    # pass over the distinct output — the former self-union put the whole
+    # pairs subtree in the plan twice and leaned on ReusedExchange to
+    # deduplicate the work.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").localCheckpoint()
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     nn = deg.agg(F.count("*").alias("n"))
 

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-from ocrautomator_spark.queries.common import T
+from ocrautomator_spark.queries.common import T, T_par
 
 QUERIES = {}
 ORACLES = {}
@@ -124,7 +124,8 @@ def _word_ngrams(df: DataFrame, n: int) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs via shared-gram candidate join."""
-    g = _word_ngrams(T(spark, sf, "documents").select("doc_id", "text"), 3)
+    # T_par: split + gram transform + explode run inside the scan stage
+    g = _word_ngrams(T_par(spark, sf, "documents").select("doc_id", "text"), 3)
     keep = g.groupBy("gram").agg(F.count("*").alias("df")).filter(F.col("df") <= MAX_DF).select("gram")
     gk = g.join(keep, "gram")
     counts = gk.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -384,7 +385,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     (production speed; no DuckDB twin) and is pinned to detect the same
     pair set as oracle mode. Non-vacuous at gate scale: 25–28 natural
     near-dup pairs."""
-    g = _word_ngrams(T(spark, sf, "documents").select("doc_id", "text"), 3)
+    # No ``.distinct()`` on the gram stream (r7): MIN over the multiset of
+    # gram hashes equals MIN over the gram set, so the signatures — and the
+    # oracle, which keeps SELECT DISTINCT — are unchanged, while the plan
+    # drops the full (doc_id, gram) pre-shuffle: grams flow from the scan
+    # straight into the map-side partial of the K min-aggregates, and the
+    # only exchange left is the tiny per-doc signature merge (guide §2.3/2.4
+    # "aggregate before you shuffle"). T_par parallelizes the scan-fused
+    # split/explode/hash work past a single-row-group input.
+    g = _split_words(T_par(spark, sf, "documents")).select(
+        "doc_id", F.explode(_gram_array(3, F.col("words"))).alias("gram")
+    )
     x = g.select("doc_id", _gram_base_hash(F.col("gram")).alias("x"))
     sigs = x.groupBy("doc_id").agg(*_minhash_sig_aggs())
     return (
@@ -417,7 +428,7 @@ def dedup_minhash_weighted(spark: SparkSession, sf: str) -> DataFrame:
     Pinned by unit tests: docs with identical gram sets but 10×-different
     counts are NOT paired (J_w ≈ 0.14) while unweighted minhash estimates
     1.0."""
-    g = _split_words(T(spark, sf, "documents")).select(
+    g = _split_words(T_par(spark, sf, "documents")).select(
         "doc_id", F.explode(_gram_array(3, F.col("words"))).alias("gram")
     )
     gc = g.groupBy("doc_id", "gram").agg(
@@ -613,7 +624,10 @@ def _substring_corpus(
     (mirrored by ``_SUBSTR_EL_SQL``). ``eligible_only`` filters to
     window-eligible lengths (the ``el`` CTE); the excise view keeps every
     document (its oracle edits the full ``corpus``)."""
-    d = T(spark, sf, "documents").select("doc_id", F.lower("text").alias("t"))
+    # T_par: the window scan fuses the full fingerprint workload (md5 per
+    # offset / the RK pandas UDF) into the scan stage — a single-row-group
+    # input would run it all on one core (r7, guide §2.5)
+    d = T_par(spark, sf, "documents").select("doc_id", F.lower("text").alias("t"))
     plant = (
         d.filter(
             (F.col("doc_id") % SUBSTR_PLANT_MOD == 0)
@@ -2943,7 +2957,7 @@ def ann_pq_batch_topk(spark: SparkSession, sf: str) -> DataFrame:
 def text_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Heuristic quality scoring: length, punctuation density, short-word
     ratio — all JVM-side builtins, no Python."""
-    d = T(spark, sf, "documents").select(
+    d = T_par(spark, sf, "documents").select(
         "doc_id", "text", F.split("text", " ").alias("words")
     )
     words = F.col("words")
@@ -3002,7 +3016,8 @@ def token_stats(spark: SparkSession, sf: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Document fingerprinting: min-hash over rolling word 5-grams
     (winnowing-style content signature, md5 on both engines)."""
-    d = T(spark, sf, "documents")
+    # T_par: ~n_words md5s per doc fuse into the scan stage (r7, guide §2.5)
+    d = T_par(spark, sf, "documents")
     words = F.split("text", " ")
     idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 4, F.lit(1)))
     grams = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, 5))))

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ocrautomator_spark.queries.common import T, davg, davg_sql, dsum, dsum_sql
+from ocrautomator_spark.queries.common import T, T_par, davg, davg_sql, dsum, dsum_sql
 
 QUERIES = {}
 ORACLES = {}
@@ -73,7 +73,7 @@ def filter_pred(spark: SparkSession, sf: str) -> DataFrame:
 def join_inner_hash(spark: SparkSession, sf: str) -> DataFrame:
     # fact⋈dim equi-join; at 100 TB this is a shuffled hash/SMJ on the key —
     # here customer is small enough that AQE may pick broadcast, equally fine
-    o, c = T(spark, sf, "orders"), T(spark, sf, "customer")
+    o, c = T_par(spark, sf, "orders"), T(spark, sf, "customer")
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
@@ -91,7 +91,7 @@ def join_inner_hash(spark: SparkSession, sf: str) -> DataFrame:
 )
 def join_broadcast(spark: SparkSession, sf: str) -> DataFrame:
     # explicit broadcast: part is a dim table; never shuffle the fact side
-    li, p = T(spark, sf, "lineitem"), T(spark, sf, "part")
+    li, p = T_par(spark, sf, "lineitem"), T(spark, sf, "part")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
@@ -224,7 +224,7 @@ def join_asof(spark: SparkSession, sf: str) -> DataFrame:
     e = T(spark, sf, "events")
     # dedupe orders to one per (key, time): deterministic tie-break = max key
     od = (
-        T(spark, sf, "orders")
+        T_par(spark, sf, "orders")
         .groupBy("o_custkey", "o_orderdate")
         .agg(F.max("o_orderkey").alias("o_orderkey"))
     )
@@ -249,7 +249,16 @@ def join_asof(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("t").asc(), F.col("is_event").asc(), F.col("ok").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    merged = left.unionByName(right).withColumn("last_ok", F.last("ok", ignorenulls=True).over(w))
+    # pin the window exchange's partition count (r7): the carry-forward
+    # window is compute-heavy per byte, and AQE's bytes-only coalescing
+    # would fold this tiny-but-hot stage onto one core. repartition on the
+    # SAME key the window partitions by adds no exchange — it IS the
+    # window's exchange, with an explicit count AQE leaves alone.
+    merged = (
+        left.unionByName(right)
+        .repartition(spark.sparkContext.defaultParallelism, "k")
+        .withColumn("last_ok", F.last("ok", ignorenulls=True).over(w))
+    )
     return (
         merged.filter((F.col("is_event") == 1) & F.col("last_ok").isNotNull())
         .select("event_id", F.col("last_ok").alias("last_orderkey"))
@@ -278,7 +287,9 @@ def join_asof(spark: SparkSession, sf: str) -> DataFrame:
 def agg_hash(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1-style pricing summary — partial (map-side) aggregation then
     final merge, the canonical hash-agg plan."""
-    li = T(spark, sf, "lineitem").filter(
+    # T_par (r7): the 8 decimal(30,10) partial aggregates fuse into the scan
+    # stage; a single-row-group lineitem would run them all on one core
+    li = T_par(spark, sf, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
     )
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))

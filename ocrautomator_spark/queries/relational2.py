@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ocrautomator_spark.queries.common import T, davg, davg_sql, dsum, dsum_sql
+from ocrautomator_spark.queries.common import T, T_par, davg, davg_sql, dsum, dsum_sql
 
 QUERIES = {}
 ORACLES = {}
@@ -257,10 +257,18 @@ def join_range_binned(spark: SparkSession, sf: str) -> DataFrame:
     iv = p.select(
         p.p_partkey.alias("iv_id"), lo.alias("lo"), (lo + width).alias("hi")
     )
+    # Pinned-count repartitions on the join key (r7): the bin join fans out
+    # ~25 interval matches per probe row and feeds decimal partial aggs, so
+    # its per-byte compute is high while its shuffle bytes are tiny — AQE's
+    # bytes-only coalescing would fold the join stage onto one core. A
+    # keyed repartition at an explicit count IS the join's exchange (both
+    # sides share the same hashpartitioning, no extra shuffle) but is
+    # exempt from coalescing.
+    n_par = spark.sparkContext.defaultParallelism
     iv_binned = iv.withColumn(
         "bin", F.explode(F.sequence(F.floor(F.col("lo") / _RJ_BIN), F.floor(F.col("hi") / _RJ_BIN)))
-    )
-    ev_binned = e.withColumn("bin", F.floor(F.col("value") / _RJ_BIN))
+    ).repartition(n_par, "bin")
+    ev_binned = e.withColumn("bin", F.floor(F.col("value") / _RJ_BIN)).repartition(n_par, "bin")
     return (
         ev_binned.join(iv_binned, "bin")
         .filter((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
