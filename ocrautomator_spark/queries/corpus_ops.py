@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ocrautomator_spark.queries.common import T, T_par
+from ocrautomator_spark.queries.common import T
 from ocrautomator_spark.queries.pipeline_ops import (
     _CC_EDGES_SQL,
     _cc_min_label,
@@ -333,7 +333,7 @@ def search_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     stats (N, avgdl, per-term df) reduce to ONE broadcast row, scoring is a
     second narrow map, and the only ordering work is TakeOrderedAndProject
     on (score, doc_id) — a single corpus pass end to end."""
-    docs = T_par(spark, sf, "documents").select(
+    docs = T(spark, sf, "documents").select(
         "doc_id", F.split("text", " ").alias("words")
     )
 

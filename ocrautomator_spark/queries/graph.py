@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ocrautomator_spark.queries.common import T, T_par
+from ocrautomator_spark.queries.common import T
 
 QUERIES = {}
 ORACLES = {}
@@ -87,9 +87,7 @@ def graph_pagerank_topk(spark: SparkSession, sf: str) -> DataFrame:
     every node both sends and receives mass, so no dangling/isolated-node
     correction terms are needed and the inner joins are lossless.
     """
-    # T_par (r7): the orders |x| lineitem probe + distinct partials fuse
-    # into the lineitem scan stage — single-row-group input = one core
-    o, li = T_par(spark, sf, "orders"), T_par(spark, sf, "lineitem")
+    o, li = T(spark, sf, "orders"), T(spark, sf, "lineitem")
     pairs = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
@@ -117,6 +115,10 @@ def graph_pagerank_topk(spark: SparkSession, sf: str) -> DataFrame:
     ).select("e.src", "e.dst").localCheckpoint()
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     nn = deg.agg(F.count("*").alias("n"))
+    # r7: materialize edges-with-outdeg ONCE — the edges |x| deg join fed
+    # BOTH iterations, so the plan carried two copies of the join subtree
+    # (and re-derived deg from the cached edge RDD each time).
+    ed = edges.join(deg, "src").localCheckpoint()
 
     def _step(rank_of_src, contrib_col):
         """One power iteration: join ranks onto edges by src, aggregate
@@ -131,9 +133,9 @@ def graph_pagerank_topk(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
 
-    it1_in = edges.join(deg, "src").crossJoin(F.broadcast(nn))
+    it1_in = ed.crossJoin(F.broadcast(nn))
     r1 = _step(it1_in, (F.lit(1.0) / F.col("n")) / F.col("outdeg"))
-    it2_in = edges.join(deg, "src").join(
+    it2_in = ed.join(
         r1.select(F.col("node").alias("src"), F.col("r").alias("r_prev"), "n"), "src"
     )
     r2 = _step(it2_in, F.col("r_prev") / F.col("outdeg"))

@@ -124,8 +124,10 @@ def _word_ngrams(df: DataFrame, n: int) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs via shared-gram candidate join."""
-    # T_par: split + gram transform + explode run inside the scan stage
-    g = _word_ngrams(T_par(spark, sf, "documents").select("doc_id", "text"), 3)
+    # (r7: T_par measured 1.85s -> 2.99s here — the round-robin exchange
+    # disturbs the downstream join layout for more than the scan-fused
+    # split+explode is worth; contrast the md5-heavy substring scans)
+    g = _word_ngrams(T(spark, sf, "documents").select("doc_id", "text"), 3)
     keep = g.groupBy("gram").agg(F.count("*").alias("df")).filter(F.col("df") <= MAX_DF).select("gram")
     gk = g.join(keep, "gram")
     counts = gk.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -391,9 +393,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # drops the full (doc_id, gram) pre-shuffle: grams flow from the scan
     # straight into the map-side partial of the K min-aggregates, and the
     # only exchange left is the tiny per-doc signature merge (guide §2.3/2.4
-    # "aggregate before you shuffle"). T_par parallelizes the scan-fused
-    # split/explode/hash work past a single-row-group input.
-    g = _split_words(T_par(spark, sf, "documents")).select(
+    # "aggregate before you shuffle"). Plain T, not T_par: the 2x2 variant
+    # A/B measured the extra round-robin exchange as a net loss here.
+    g = _split_words(T(spark, sf, "documents")).select(
         "doc_id", F.explode(_gram_array(3, F.col("words"))).alias("gram")
     )
     x = g.select("doc_id", _gram_base_hash(F.col("gram")).alias("x"))
@@ -428,7 +430,7 @@ def dedup_minhash_weighted(spark: SparkSession, sf: str) -> DataFrame:
     Pinned by unit tests: docs with identical gram sets but 10×-different
     counts are NOT paired (J_w ≈ 0.14) while unweighted minhash estimates
     1.0."""
-    g = _split_words(T_par(spark, sf, "documents")).select(
+    g = _split_words(T(spark, sf, "documents")).select(
         "doc_id", F.explode(_gram_array(3, F.col("words"))).alias("gram")
     )
     gc = g.groupBy("doc_id", "gram").agg(
@@ -2957,7 +2959,7 @@ def ann_pq_batch_topk(spark: SparkSession, sf: str) -> DataFrame:
 def text_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Heuristic quality scoring: length, punctuation density, short-word
     ratio — all JVM-side builtins, no Python."""
-    d = T_par(spark, sf, "documents").select(
+    d = T(spark, sf, "documents").select(
         "doc_id", "text", F.split("text", " ").alias("words")
     )
     words = F.col("words")

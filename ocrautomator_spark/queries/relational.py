@@ -73,7 +73,11 @@ def filter_pred(spark: SparkSession, sf: str) -> DataFrame:
 def join_inner_hash(spark: SparkSession, sf: str) -> DataFrame:
     # fact⋈dim equi-join; at 100 TB this is a shuffled hash/SMJ on the key —
     # here customer is small enough that AQE may pick broadcast, equally fine
-    o, c = T_par(spark, sf, "orders"), T(spark, sf, "customer")
+    # no T_par here (r7, measured): the broadcast-join probe + count/sum agg
+    # is ~one hash probe per row — cheaper than the repartition that would
+    # parallelize it (A/B 0.42s -> 0.46s). Contrast agg_hash, whose 8
+    # decimal aggregates per row DO pay for the spread.
+    o, c = T(spark, sf, "orders"), T(spark, sf, "customer")
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
@@ -91,7 +95,9 @@ def join_inner_hash(spark: SparkSession, sf: str) -> DataFrame:
 )
 def join_broadcast(spark: SparkSession, sf: str) -> DataFrame:
     # explicit broadcast: part is a dim table; never shuffle the fact side
-    li, p = T_par(spark, sf, "lineitem"), T(spark, sf, "part")
+    # no T_par (r7, measured 0.85s -> 1.15s): shuffling the 600k-row probe
+    # side costs more than the one-core broadcast probe + light agg it spreads
+    li, p = T(spark, sf, "lineitem"), T(spark, sf, "part")
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
@@ -224,7 +230,7 @@ def join_asof(spark: SparkSession, sf: str) -> DataFrame:
     e = T(spark, sf, "events")
     # dedupe orders to one per (key, time): deterministic tie-break = max key
     od = (
-        T_par(spark, sf, "orders")
+        T(spark, sf, "orders")
         .groupBy("o_custkey", "o_orderdate")
         .agg(F.max("o_orderkey").alias("o_orderkey"))
     )
