@@ -47,16 +47,44 @@ HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6 title".split())
 _TOKEN = re.compile(r"<!--.*?(?:-->|$)|<!\[CDATA\[.*?(?:\]\]>|$)|<[^>]*>|[^<]+", re.S)
 _TAG_NAME = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9-]*)")
 _WS_ANY = re.compile(r"\s+")
-# Single-pass tokenizer for the hot loop: group 1 captures a well-formed
-# tag's name in the same pass (token extents are IDENTICAL to _TOKEN: the
-# named-tag alternative and the generic <[^>]*> both stop at the first '>',
-# so dispatch never changes — only the per-tag second regex pass and the
-# token-string allocation are saved). Group 2 is a text run.
+# Single-pass tokenizer regex (kept as the REFERENCE tokenization the r7
+# split-based loop must reproduce, and used by A/B tests): group 1 captures
+# a well-formed tag's name, group 2 a text run; the named-tag alternative
+# and the generic <[^>]*> both stop at the first '>'.
 _TOKEN_FAST = re.compile(
     r"<!--.*?(?:-->|$)|<!\[CDATA\[.*?(?:\]\]>|$)|"
     r"</?\s*([a-zA-Z][a-zA-Z0-9-]*)[^>]*>|<[^>]*>|([^<]+)",
     re.S,
 )
+
+# r7 split-based tokenizer: anchored name parse over a tag BODY (the text
+# between '<' and the first '>'), replicating _TOKEN_FAST's named-tag
+# alternative exactly — '/?' then optional whitespace then the name.
+_NAME = re.compile(r"/?\s*([a-zA-Z][a-zA-Z0-9-]*)")
+
+# Bounded memo: tag body -> (name, closing, selfclosing), or None for a
+# nameless/generic tag. A pure function of the body string; closing is
+# body[0]=='/', selfclosing is body[-1]=='/' or a void name — both facts
+# the regex loop derived per token from raw offsets. Real markup repeats
+# tag bodies massively ('/p', 'li', 'div class="nav"'), so the common case
+# becomes one dict hit instead of a regex match + lower + two char tests.
+_TAG_MEMO: dict[str, tuple[str, bool, bool] | None] = {}
+_TAG_MEMO_CAP = 100_000
+
+
+def _parse_tag(body: str) -> tuple[str, bool, bool] | None:
+    m = _NAME.match(body)
+    if m is None:
+        out = None
+    else:
+        name = m[1]
+        if not name.islower():
+            name = name.lower()
+        out = (name, body[0] == "/", body[-1] == "/" or name in VOID_TAGS)
+    if len(_TAG_MEMO) >= _TAG_MEMO_CAP:
+        _TAG_MEMO.clear()
+    _TAG_MEMO[body] = out
+    return out
 
 
 # Bounded memo for the (unescape + whitespace-collapse) normalization of
@@ -157,15 +185,96 @@ def segment_html(raw: str) -> list[Block]:
     chrome_depth = 0
     table_depth = 0
 
-    for m in _TOKEN_FAST.finditer(raw):
-        last = m.lastindex
-        if last == 2:
-            # text run — the common case, handled first
-            if skip_depth:
-                continue
-            tok = m[2]
+    # r7 split-based token loop: raw.split('<') hands every token boundary
+    # to C code, so the Python loop touches one PIECE (tag body + trailing
+    # text run) per iteration instead of one regex Match per token — no
+    # match objects, no group fetches, no .start()/.end() calls. Token
+    # extents and dispatch replicate _TOKEN_FAST exactly (A/B'd
+    # bit-identical over the corpus + adversarial fragments + 3k random
+    # mutations, tests/test_html_tokenizer_ab.py), including the corner
+    # cases: a tag token runs to the FIRST '>' even across later '<'s, a
+    # '<' with no '>' anywhere later is skipped and its remainder is a text
+    # run, comments/CDATA consume '<'s until their end marker.
+    tag_memo_get = _TAG_MEMO.get
+    run_memo_get = _RUN_MEMO.get
+    pieces = raw.split("<")
+    npieces = len(pieces)
+
+    i = 0
+    p = pieces[0]
+    pstart = 0          # abs offset of the current piece's content
+    toff = 0            # offset within p where the trailing text run starts
+    has_tag = False     # piece 0 carries no tag part
+    name = ""
+    closing = selfclosing = False
+    while True:
+        # ---- tag action (resolved by the dispatcher at the bottom) ----
+        if has_tag:
+            if name in SKIP_TAGS:
+                if selfclosing:
+                    pass
+                elif closing:
+                    if skip_depth:
+                        skip_depth -= 1
+                else:
+                    skip_depth += 1
+            elif skip_depth:
+                pass
+            elif table_depth and name in TABLE_STRUCTURE_TAGS:
+                # inside a <table>, structural tags are cell/row separators,
+                # not block boundaries: the whole table becomes ONE candidate
+                # block (a data table in a turn payload is content; a
+                # link-farm layout table still dies on link ratio)
+                if parts:
+                    if closing and name == "tr":
+                        parts_append("\n")
+                    elif closing or name in ("td", "th"):
+                        parts_append(" ")
+            elif name in BLOCK_TAGS:
+                if parts:
+                    flush()
+                elif n_inline_tags or kind_set:
+                    # inlined empty-block reset (the old flush fast path)
+                    n_inline_tags = 0
+                    n_link_chars = 0
+                    kind = KIND_CONTENT
+                    kind_set = False
+                    in_chrome = False
+                if not selfclosing:
+                    d = -1 if closing else 1
+                    if name in CHROME_TAGS:
+                        chrome_depth = chrome_depth + d if chrome_depth + d > 0 else 0
+                    elif name == "pre":
+                        pre_depth = pre_depth + d if pre_depth + d > 0 else 0
+                    elif name in HEADING_TAGS:
+                        heading_depth = heading_depth + d if heading_depth + d > 0 else 0
+                    elif name == "li":
+                        li_depth = li_depth + d if li_depth + d > 0 else 0
+                    elif name == "table":
+                        table_depth = table_depth + d if table_depth + d > 0 else 0
+            else:
+                if name == "a" and not selfclosing:
+                    if closing:
+                        if a_depth:
+                            a_depth -= 1
+                    else:
+                        a_depth += 1
+                if name == "br":
+                    parts_append("\n" if pre_depth else " ")
+                    if n_spans:
+                        # extends the LAST part span; when only one span
+                        # exists the last span IS the first, so both move
+                        last_end = pstart + toff  # abs end of the <br> token
+                        if n_spans == 1:
+                            first_end = last_end
+                elif not closing:
+                    n_inline_tags += 1
+
+        # ---- text run: p[toff:] ----
+        if toff < len(p) and not skip_depth:
+            tok = p[toff:] if toff else p
             if pre_depth == 0:
-                text = _RUN_MEMO.get(tok)
+                text = run_memo_get(tok)
                 if text is None:
                     text = _html.unescape(tok) if "&" in tok else tok
                     # C-level equivalent of _WS_ANY.sub(" ", text): collapse
@@ -185,100 +294,108 @@ def segment_html(raw: str) -> list[Block]:
                     _RUN_MEMO[tok] = text
             else:
                 text = _html.unescape(tok) if "&" in tok else tok
-            if not text:
-                continue
-            if not kind_set and not text.isspace():
-                if pre_depth:
-                    kind = KIND_CODE
-                elif heading_depth:
-                    kind = KIND_HEADING
-                elif li_depth or table_depth:
-                    kind = KIND_LIST
-                kind_set = True
-                in_chrome = chrome_depth > 0
-            parts_append(text)
-            if n_spans:
-                last_start, last_end = m.span()
-                n_spans += 1
-            else:
-                first_start, first_end = last_start, last_end = m.span()
-                n_spans = 1
-            if a_depth > 0:
-                n_link_chars += len(text.strip())
-            continue
-        if last is None:
-            continue  # comment / doctype / CDATA / PI / malformed tag
-        name = m[1]
-        if not name.islower():  # already-lowercase names skip the alloc
-            name = name.lower()
-        closing = raw[m.start() + 1] == "/"
-        # tag tokens always end with ">" (the regex guarantees it), so the
-        # original `tok.rstrip().endswith("/>")` reduces to one char test
-        selfclosing = raw[m.end() - 2] == "/" or name in VOID_TAGS
-
-        if name in SKIP_TAGS:
-            if selfclosing:
-                continue
-            if closing:
-                if skip_depth:
-                    skip_depth -= 1
-            else:
-                skip_depth += 1
-            continue
-        if skip_depth:
-            continue
-
-        if table_depth and name in TABLE_STRUCTURE_TAGS:
-            # inside a <table>, structural tags are cell/row separators, not
-            # block boundaries: the whole table becomes ONE candidate block
-            # (a data table in a turn payload is content; a link-farm layout
-            # table still dies on link ratio)
-            if parts:
-                if closing and name == "tr":
-                    parts_append("\n")
-                elif closing or name in ("td", "th"):
-                    parts_append(" ")
-            continue
-        if name in BLOCK_TAGS:
-            if parts:
-                flush()
-            elif n_inline_tags or kind_set:
-                # inlined empty-block reset (the old flush fast path)
-                n_inline_tags = 0
-                n_link_chars = 0
-                kind = KIND_CONTENT
-                kind_set = False
-                in_chrome = False
-            if not selfclosing:
-                d = -1 if closing else 1
-                if name in CHROME_TAGS:
-                    chrome_depth = chrome_depth + d if chrome_depth + d > 0 else 0
-                elif name == "pre":
-                    pre_depth = pre_depth + d if pre_depth + d > 0 else 0
-                elif name in HEADING_TAGS:
-                    heading_depth = heading_depth + d if heading_depth + d > 0 else 0
-                elif name == "li":
-                    li_depth = li_depth + d if li_depth + d > 0 else 0
-                elif name == "table":
-                    table_depth = table_depth + d if table_depth + d > 0 else 0
-        else:
-            if name == "a" and not selfclosing:
-                if closing:
-                    if a_depth:
-                        a_depth -= 1
-                else:
-                    a_depth += 1
-            if name == "br":
-                parts_append("\n" if pre_depth else " ")
+            if text:
+                if not kind_set and not text.isspace():
+                    if pre_depth:
+                        kind = KIND_CODE
+                    elif heading_depth:
+                        kind = KIND_HEADING
+                    elif li_depth or table_depth:
+                        kind = KIND_LIST
+                    kind_set = True
+                    in_chrome = chrome_depth > 0
+                parts_append(text)
+                ts = pstart + toff
+                te = pstart + len(p)
                 if n_spans:
-                    # extends the LAST part span; when only one span exists
-                    # the last span IS the first, so both ends move
-                    last_end = m.end()
-                    if n_spans == 1:
-                        first_end = last_end
-                continue
-            if not closing:
-                n_inline_tags += 1
+                    last_start, last_end = ts, te
+                    n_spans += 1
+                else:
+                    first_start, first_end = last_start, last_end = ts, te
+                    n_spans = 1
+                if a_depth > 0:
+                    n_link_chars += len(text.strip())
+
+        # ---- advance to the next piece and resolve its tag part ----
+        i += 1
+        if i >= npieces:
+            break
+        lt = pstart + len(p)       # abs position of the '<' opening piece i
+        p = pieces[i]
+        pstart = lt + 1
+        has_tag = True
+        # comment / CDATA (checked before the tag forms, like the regex)
+        if p[0:1] == "!" and (p.startswith("!--") or p.startswith("![CDATA[")):
+            endmark, off = ("-->", 3) if p[1] == "-" else ("]]>", 8)
+            k = p.find(endmark, off)
+            while k < 0:
+                i += 1
+                if i >= npieces:
+                    break
+                pstart += len(p) + 1
+                p = pieces[i]
+                k = p.find(endmark)
+            if k < 0:
+                break  # unterminated comment/CDATA: consumes to EOS
+            toff = k + 3  # both end markers are 3 chars
+            has_tag = False  # comments carry no tag action
+            continue
+        g = p.find(">")
+        if g >= 0:
+            body = p[:g]
+            toff = g + 1
+            if body:
+                r = tag_memo_get(body, False)
+                if r is False:
+                    r = _parse_tag(body)
+                if r is None:
+                    has_tag = False
+                else:
+                    name, closing, selfclosing = r
+            else:
+                has_tag = False  # '<>' — generic, ignored
+            continue
+        # no '>' in this piece: the tag token extends to the first '>' in a
+        # LATER piece ([^>]* crosses '<'), or there is no tag at all
+        j = i
+        pj = p
+        pjstart = pstart
+        while True:
+            j += 1
+            if j >= npieces:
+                j = -1
+                break
+            pjstart += len(pj) + 1
+            pj = pieces[j]
+            g = pj.find(">")
+            if g >= 0:
+                break
+        if j < 0:
+            # no '>' anywhere later: the '<' is skipped (no token alternative
+            # matches it), this piece is a bare text run, and every later
+            # piece will take this same path
+            has_tag = False
+            toff = 0
+            continue
+        # tag token spans pieces[i..j]; name/closing parse from the first
+        # segment (name chars cannot cross a '<'), selfclosing from the
+        # char right before the terminating '>'
+        m = _NAME.match(p)
+        if m is None:
+            has_tag = False
+        else:
+            name = m[1]
+            if not name.islower():
+                name = name.lower()
+            closing = p[0] == "/"
+            prev = pj[g - 1] if g > 0 else "<"
+            selfclosing = prev == "/" or name in VOID_TAGS
+        i = j
+        p = pj
+        pstart = pjstart
+        toff = g + 1
+        continue
+
     if parts:
         flush()
     return blocks
