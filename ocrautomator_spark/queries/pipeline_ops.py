@@ -706,7 +706,18 @@ def dedup_substring_windows(spark: SparkSession, sf: str) -> DataFrame:
             F.transform(idx, lambda i: F.md5(F.col("t").substr(i, F.lit(SUBSTR_WIN))))
         ).alias("h"),
     )
-    sel = wins.filter(F.substring("h", 1, 1) == SUBSTR_SEL_HEX).distinct()
+    # ONE exchange serves the whole candidate pipeline (r7): hashpartitioning
+    # on h alone satisfies the (doc_id, h) distinct's clustering (a subset of
+    # the grouping keys), the DF-guard's groupBy(h), AND both sides of the
+    # h-equi self-join — the unkeyed distinct used to force its own
+    # (doc_id, h) exchange plus a second one per h-keyed consumer. Pinned
+    # count so AQE cannot fold the compute-heavy join stage onto one core.
+    # Measured 2.9-3.2s -> 2.1-2.3s at sf0.1, identical pair set.
+    sel = (
+        wins.filter(F.substring("h", 1, 1) == SUBSTR_SEL_HEX)
+        .repartition(wins.sparkSession.sparkContext.defaultParallelism, "h")
+        .distinct()
+    )
     keep = (
         sel.groupBy("h").agg(F.count("*").alias("df"))
         .filter(F.col("df") <= MAX_DF)
@@ -1069,8 +1080,16 @@ def dedup_substring_windows_rk(spark: SparkSession, sf: str) -> DataFrame:
     # sides) would otherwise re-run the pandas-UDF scan 3x (the r4
     # .distinct() was accidentally serving as a reused exchange; measured
     # 6.7s vs 3.1s without a barrier at sf0.1). localCheckpoint is the
-    # established idiom (see dedup_minhash banding).
-    sel = _rk_sampled_keys(spark, sf).localCheckpoint()
+    # established idiom (see dedup_minhash banding). r7: repartition on k
+    # BEFORE the barrier — the materialized partitioning then already
+    # satisfies the DF-guard's groupBy(k) and both self-join sides, so no
+    # consumer re-shuffles the checkpointed scan (measured 2.3-2.6s ->
+    # 1.6-1.7s at sf0.1, identical pair set).
+    sel = (
+        _rk_sampled_keys(spark, sf)
+        .repartition(spark.sparkContext.defaultParallelism, "k")
+        .localCheckpoint()
+    )
     keep = (
         sel.groupBy("k").agg(F.count("*").alias("df"))
         .filter(F.col("df") <= MAX_DF)
@@ -1425,9 +1444,19 @@ def _cc_min_label(
     from pyspark.sql import Observation
 
     spark = pairs.sparkSession
-    edges = pairs.union(
-        pairs.select(pairs.columns[1], pairs.columns[0])
-    ).toDF("src", "dst")
+    # r7: symmetrize by exploding each pair into both directions in ONE pass
+    # — the former self-union carried the whole candidate-pair subtree twice
+    # and leaned on ReusedExchange to deduplicate the work (measured 3.3s ->
+    # 3.0s warm / 6.6s -> 3.9s cold on dedup_cluster_keeper at sf0.1).
+    c0, c1 = pairs.columns
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(c0).alias("src"), F.col(c1).alias("dst")),
+                F.struct(F.col(c1).alias("src"), F.col(c0).alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     edges = edges.localCheckpoint()  # the edge set is reused every round
     if edges.count() <= driver_max_edges:
         rows = _uf_min_label([(r["src"], r["dst"]) for r in edges.collect()])

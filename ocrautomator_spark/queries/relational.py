@@ -410,7 +410,11 @@ def agg_cube(spark: SparkSession, sf: str) -> DataFrame:
 )
 def win_rank(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return T(spark, sf, "orders").select(
+    # pinned-count keyed repartition = the window's own exchange, exempt
+    # from AQE's bytes-only coalescing (r7; measured 0.43s -> 0.31s)
+    return T(spark, sf, "orders").repartition(
+        spark.sparkContext.defaultParallelism, "o_custkey"
+    ).select(
         "o_custkey",
         "o_orderkey",
         F.row_number().over(w).alias("rn"),
@@ -482,8 +486,10 @@ def sort_limit(spark: SparkSession, sf: str) -> DataFrame:
 )
 def topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    # pinned-count keyed repartition = the window's own exchange (r7)
     return (
         T(spark, sf, "orders")
+        .repartition(spark.sparkContext.defaultParallelism, "o_custkey")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice")
