@@ -10,8 +10,8 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def T_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """``T`` plus a scan-parallelism guard for compute-heavy consumers.
+def par_scan(df: DataFrame) -> DataFrame:
+    """Scan-parallelism guard for compute-heavy consumers.
 
     A parquet file with a single row group is an unsplittable input: the
     whole scan — and every per-row expression Catalyst fuses into the scan
@@ -25,14 +25,22 @@ def T_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Size-adaptive by construction, not a local-mode constant: on a real
     multi-file/multi-row-group table the scan already splits past
-    ``defaultParallelism`` and this is a no-op decision. Use for entries
-    whose scan stage carries real per-row compute; plain scans keep ``T``.
+    ``defaultParallelism`` and this is a no-op decision. Apply only where
+    the scan stage carries heavy per-row compute (measured: the per-offset
+    digest scans and the 8-way decimal aggregation win; light probe/HOF
+    scans lose more to the extra exchange than they gain — see the r7
+    per-entry A/Bs in OPTIMIZATION_r07.md).
     """
-    df = T(spark, sf_dir, name)
+    spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def T_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``T`` with the ``par_scan`` guard applied."""
+    return par_scan(T(spark, sf_dir, name))
 
 
 def dsum(col: Column | str) -> Column:

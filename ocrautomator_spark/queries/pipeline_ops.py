@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
-from ocrautomator_spark.queries.common import T, T_par
+from ocrautomator_spark.queries.common import T, par_scan
 
 QUERIES = {}
 ORACLES = {}
@@ -626,10 +626,10 @@ def _substring_corpus(
     (mirrored by ``_SUBSTR_EL_SQL``). ``eligible_only`` filters to
     window-eligible lengths (the ``el`` CTE); the excise view keeps every
     document (its oracle edits the full ``corpus``)."""
-    # T_par: the window scan fuses the full fingerprint workload (md5 per
-    # offset / the RK pandas UDF) into the scan stage — a single-row-group
-    # input would run it all on one core (r7, guide §2.5)
-    d = T_par(spark, sf, "documents").select("doc_id", F.lower("text").alias("t"))
+    # par_scan: the window scan fuses the full fingerprint workload (md5
+    # per offset / the RK pandas UDF) into the scan stage — a single-row-
+    # group input would run it all on one core (r7, guide §2.5)
+    d = par_scan(T(spark, sf, "documents")).select("doc_id", F.lower("text").alias("t"))
     plant = (
         d.filter(
             (F.col("doc_id") % SUBSTR_PLANT_MOD == 0)
@@ -3047,8 +3047,8 @@ def token_stats(spark: SparkSession, sf: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Document fingerprinting: min-hash over rolling word 5-grams
     (winnowing-style content signature, md5 on both engines)."""
-    # T_par: ~n_words md5s per doc fuse into the scan stage (r7, guide §2.5)
-    d = T_par(spark, sf, "documents")
+    # par_scan: ~n_words md5s per doc fuse into the scan stage (r7, §2.5)
+    d = par_scan(T(spark, sf, "documents"))
     words = F.split("text", " ")
     idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 4, F.lit(1)))
     grams = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, 5))))

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ocrautomator_spark.queries.common import T, T_par, davg, davg_sql, dsum, dsum_sql
+from ocrautomator_spark.queries.common import T, davg, davg_sql, dsum, dsum_sql, par_scan
 
 QUERIES = {}
 ORACLES = {}
@@ -295,7 +295,7 @@ def agg_hash(spark: SparkSession, sf: str) -> DataFrame:
     final merge, the canonical hash-agg plan."""
     # T_par (r7): the 8 decimal(30,10) partial aggregates fuse into the scan
     # stage; a single-row-group lineitem would run them all on one core
-    li = T_par(spark, sf, "lineitem").filter(
+    li = par_scan(T(spark, sf, "lineitem")).filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
     )
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))

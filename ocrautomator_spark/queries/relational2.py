@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ocrautomator_spark.queries.common import T, T_par, davg, davg_sql, dsum, dsum_sql
+from ocrautomator_spark.queries.common import T, davg, davg_sql, dsum, dsum_sql
 
 QUERIES = {}
 ORACLES = {}
