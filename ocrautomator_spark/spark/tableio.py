@@ -25,6 +25,12 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+# one snapshot-log lock per resolved store root (see ParquetManifestIO.__init__)
+import threading as _threading
+
+_SNAP_LOCKS: dict[str, Any] = {}
+_SNAP_LOCKS_GUARD = _threading.Lock()
+
 
 class ParquetManifestIO:
     """Parquet data + atomic per-chunk JSON manifests under one root dir."""
@@ -38,11 +44,15 @@ class ParquetManifestIO:
         self.manifest_dir.mkdir(parents=True, exist_ok=True)
         # serializes the snapshot log's read-modify-append: per-bucket
         # manifests are disjoint files (commit_bucket was thread-safe before
-        # the shared log existed), but concurrent commits through ONE store
-        # instance — run_pipeline(max_concurrent>1) / submit --concurrency —
-        # would otherwise both read last_id and append duplicate snapshot
-        # ids. Cross-PROCESS writers are out of scope, as for the manifests.
-        self._snap_lock = threading.Lock()
+        # the shared log existed), but concurrent commits would otherwise
+        # both read last_id and append duplicate snapshot ids. Keyed on the
+        # RESOLVED root in a module-level registry (ADVICE r6): streaming
+        # helpers construct their own ParquetManifestIO over a caller's
+        # root, so two instances in one process must share the lock.
+        # Cross-PROCESS writers are out of scope, as for the manifests.
+        key = str(self.root.resolve())
+        with _SNAP_LOCKS_GUARD:
+            self._snap_lock = _SNAP_LOCKS.setdefault(key, threading.Lock())
 
     # -- resume state (A10) --
     def committed_buckets(self) -> set[int]:
@@ -187,8 +197,14 @@ class ParquetManifestIO:
         for line in p.read_text().splitlines():
             try:
                 rec = json.loads(line)
-                rec["snapshot_id"]
-                rec["state"]
+                # type-checked, not just present (ADVICE r6): a valid-JSON
+                # garbage line with a string/float snapshot_id would
+                # otherwise make the NEXT commit's last_id+1 raise —
+                # log garbage must never break commits
+                if not isinstance(rec.get("snapshot_id"), int) or not isinstance(
+                    rec.get("state"), dict
+                ):
+                    continue
             except (ValueError, KeyError, TypeError, json.JSONDecodeError):
                 continue  # torn append never counts as a snapshot
             out.append(rec)
@@ -236,8 +252,11 @@ class ParquetManifestIO:
                     raise FileNotFoundError(f"snapshot {snapshot_id} is empty")
                 missing = [p for p in paths if not pathlib.Path(p).exists()]
                 if missing:
+                    # the paths are absolute, so a relocated store root also
+                    # lands here — say so instead of claiming expiry (ADVICE r6)
                     raise FileNotFoundError(
-                        f"snapshot {snapshot_id} expired: missing {missing}"
+                        f"snapshot {snapshot_id}: missing data files (expired, "
+                        f"garbage-collected, or store moved): {missing}"
                     )
                 return spark.read.parquet(*paths)
         raise FileNotFoundError(f"no snapshot {snapshot_id} under {self.root}")
@@ -246,10 +265,16 @@ class ParquetManifestIO:
         """Drop all but the newest ``keep_last`` history entries (Iceberg
         ``expire_snapshots``). The rewrite is atomic (tmp + os.replace).
         Returns the number of expired entries. Files referenced only by
-        expired snapshots become GC-eligible — run gc_orphans() after."""
+        expired snapshots become GC-eligible — run gc_orphans() after.
+
+        ``keep_last`` is floored at 1 (ADVICE r6): truncating the log to
+        empty would restart snapshot ids at 1, and a reader holding an
+        expired id could then silently resolve to a DIFFERENT snapshot's
+        state instead of FileNotFoundError — ids must never be reused, so
+        the newest entry always survives as the id high-water mark."""
         with self._snap_lock:
             snaps = self.snapshots()
-            keep = snaps[-keep_last:] if keep_last > 0 else []
+            keep = snaps[-max(keep_last, 1):]
             p = self._snapshot_log_path()
             tmp = p.with_suffix(".jsonl.tmp")
             tmp.write_text("".join(json.dumps(r) + "\n" for r in keep))

@@ -181,15 +181,14 @@ def dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _interval_join_stream(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
-    """Shared builder for the inner/leftOuter interval-join twins: sources,
-    two-sided watermarks, the time-range join condition, and the output
-    projection are defined ONCE so the twins cannot drift (a one-sided edit
-    to the interval width or watermark delay would otherwise silently
-    desynchronize them while both oracles keep passing)."""
+def _interval_join_on(src: DataFrame, how: str) -> DataFrame:
+    """The interval-join CONSTRUCTION over any events-shaped stream:
+    two-sided watermarks + the time-range join condition, defined ONCE so
+    the inner/leftOuter twins cannot drift — and so the multi-microbatch
+    continuation test (tests/test_streaming_semantics.py) exercises the
+    EXACT production join, not a copy."""
     views = (
-        events_stream(spark, sf_dir)
-        .where(F.col("event_type") == "view")
+        src.where(F.col("event_type") == "view")
         .select(
             "user_id",
             F.col("event_id").alias("view_eid"),
@@ -198,8 +197,7 @@ def _interval_join_stream(spark: SparkSession, sf_dir: str, how: str) -> DataFra
         .withWatermark("view_ts", "1 hour")
     )
     clicks = (
-        events_stream(spark, sf_dir)
-        .where(F.col("event_type") == "click")
+        src.where(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("click_user_id"),
             F.col("event_id").alias("click_eid"),
@@ -207,23 +205,36 @@ def _interval_join_stream(spark: SparkSession, sf_dir: str, how: str) -> DataFra
         )
         .withWatermark("click_ts", "1 hour")
     )
-    joined = views.join(
+    return views.join(
         clicks,
         (F.col("user_id") == F.col("click_user_id"))
         & (F.col("click_ts") >= F.col("view_ts"))
         & (F.col("click_ts") < F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
         how,
     )
+
+
+def _interval_join_project(df: DataFrame) -> DataFrame:
+    return df.select(
+        "user_id",
+        "view_eid",
+        "click_eid",
+        F.unix_micros("view_ts").alias("view_ts_us"),
+        F.unix_micros("click_ts").alias("click_ts_us"),
+    )
+
+
+def _interval_join_stream(spark: SparkSession, sf_dir: str, how: str) -> DataFrame:
+    """Shared builder for the inner/leftOuter interval-join twins: sources,
+    join construction, and the output projection are defined ONCE so the
+    twins cannot drift (a one-sided edit to the interval width or watermark
+    delay would otherwise silently desynchronize them while both oracles
+    keep passing)."""
+    joined = _interval_join_on(events_stream(spark, sf_dir), how)
     return run_to_memory(
         joined,
         "append",
-        lambda df: df.select(
-            "user_id",
-            "view_eid",
-            "click_eid",
-            F.unix_micros("view_ts").alias("view_ts_us"),
-            F.unix_micros("click_ts").alias("click_ts_us"),
-        ),
+        _interval_join_project,
         expect_single_batch=True,
     )
 

@@ -220,3 +220,56 @@ def test_snapshot_log_concurrent_commits_unique_ids(spark, tmp_path):
         list(ex.map(lambda b: io.commit_bucket(b, "rc"), range(16)))
     ids = [s["snapshot_id"] for s in io.snapshots()]
     assert ids == list(range(1, 17)), ids
+
+
+def test_snapshot_ids_never_reused_after_full_expiry(spark, tmp_path):
+    """ADVICE r6: expire_snapshots floors keep_last at 1 so the id
+    high-water mark survives — a reader holding an expired id must get
+    FileNotFoundError, never a silently different snapshot's state."""
+    import pytest
+
+    io = ParquetManifestIO(str(tmp_path / "store"))
+    for b in range(3):
+        io.write_bucket(spark.range(b * 10, b * 10 + 10), b, "r1")
+    assert [s["snapshot_id"] for s in io.snapshots()] == [1, 2, 3]
+    expired = io.expire_snapshots(keep_last=0)  # floored to 1
+    assert expired == 2
+    assert [s["snapshot_id"] for s in io.snapshots()] == [3]
+    io.write_bucket(spark.range(100, 110), 3, "r1")
+    assert [s["snapshot_id"] for s in io.snapshots()] == [3, 4]
+    with pytest.raises(FileNotFoundError):
+        io.read_snapshot(spark, 1)
+
+
+def test_snapshot_log_garbage_typed_line_never_breaks_commits(spark, tmp_path):
+    """ADVICE r6: a valid-JSON log line whose snapshot_id is a string (or
+    state a non-dict) is rejected like a torn line — the next commit's
+    last_id+1 must not raise on it."""
+    io = ParquetManifestIO(str(tmp_path / "store"))
+    io.write_bucket(spark.range(10), 0, "r1")
+    with open(io._snapshot_log_path(), "a") as f:
+        f.write('{"snapshot_id": "7", "state": {}}\n')
+        f.write('{"snapshot_id": 8, "state": "oops"}\n')
+    assert [s["snapshot_id"] for s in io.snapshots()] == [1]
+    io.write_bucket(spark.range(10, 20), 1, "r1")  # must not raise
+    assert [s["snapshot_id"] for s in io.snapshots()] == [1, 2]
+
+
+def test_snapshot_lock_shared_across_instances_same_root(spark, tmp_path):
+    """ADVICE r6: two ParquetManifestIO objects over the SAME root (the
+    streaming helpers construct their own) share one snapshot-log lock —
+    concurrent commits through different instances still yield unique,
+    gap-free ids."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = str(tmp_path / "store")
+    io_a = ParquetManifestIO(root)
+    io_b = ParquetManifestIO(root)
+    assert io_a._snap_lock is io_b._snap_lock
+    df = spark.range(5)
+    for b in range(12):
+        (io_a if b % 2 == 0 else io_b).write_bucket_data(df, b)
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(lambda b: (io_a if b % 2 == 0 else io_b).commit_bucket(b, "rc"), range(12)))
+    ids = [s["snapshot_id"] for s in io_a.snapshots()]
+    assert ids == list(range(1, 13)), ids

@@ -168,3 +168,66 @@ def test_tool_chains_invariants_and_single_exchange(spark):
         assert r["max_chain_len"] * r["n_chains"] >= r["n_tool_calls"]
         assert 1 <= r["n_distinct_tools"] <= min(3, r["n_tool_calls"])
     assert any(r["max_chain_len"] > 1 for r in rows), "no multi-call chain: vacuous"
+
+
+def test_tool_chains_on_real_tool_column(spark, sdf, pdf_ref):
+    """VERDICT r6 item 5: gate the tool-chain OPERATOR on the actual
+    input_hint shape — the synth transcripts table carries a real ``tool``
+    column (the driver's events-derived adapter only stands in for it in the
+    oracled entry). Spark computes chains with the exact conv_tool_chains
+    window construction over (conv_id, turn_idx, tool); a pure-pandas
+    reference recomputes them independently; results must match row-for-row.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    t = sdf.select("conv_id", "turn_idx", "tool")
+    wt = Window.partitionBy("conv_id").orderBy("turn_idx")
+    wc = Window.partitionBy("conv_id", "chain")
+    tt = (
+        t.filter(F.col("tool").isNotNull())
+        .withColumn("chain", F.col("turn_idx") - F.row_number().over(wt))
+        .withColumn("clen", F.count("*").over(wc))
+    )
+    got = {
+        r["conv_id"]: (
+            r["n_tool_calls"], r["n_distinct_tools"], r["n_chains"], r["max_chain_len"]
+        )
+        for r in tt.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_tool_calls"),
+            F.size(F.collect_set("tool")).cast("long").alias("n_distinct_tools"),
+            F.size(F.collect_set("chain")).cast("long").alias("n_chains"),
+            F.max("clen").alias("max_chain_len"),
+        )
+        .collect()
+    }
+
+    want = {}
+    for conv_id, g in pdf_ref.groupby("conv_id"):
+        g = g.sort_values("turn_idx")
+        tool_rows = g[g["tool"].notna()]
+        if tool_rows.empty:
+            continue
+        # gaps-and-islands: consecutive turn_idx runs among tool turns
+        chains = []
+        cur = 0
+        prev_idx = None
+        for idx in tool_rows["turn_idx"]:
+            if prev_idx is not None and idx == prev_idx + 1:
+                cur += 1
+            else:
+                if cur:
+                    chains.append(cur)
+                cur = 1
+            prev_idx = idx
+        chains.append(cur)
+        want[conv_id] = (
+            len(tool_rows),
+            tool_rows["tool"].nunique(),
+            len(chains),
+            max(chains),
+        )
+
+    assert want, "synth corpus must contain tool turns — vacuous otherwise"
+    assert got == want

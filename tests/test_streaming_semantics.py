@@ -435,3 +435,78 @@ def test_outer_interval_join_null_emission_boundary(spark):
             "outer row emitted for a view whose window was still open at the "
             f"final watermark: view_ts_us={r['view_ts_us']} wm_us={wm_us}"
         )
+
+
+def test_interval_join_two_microbatches(spark, tmp_path):
+    """VERDICT r6 item 3: drive the PRODUCTION interval join
+    (jobs._interval_join_on) across >=2 data microbatches
+    (maxFilesPerTrigger=1), where join-state retention and eviction actually
+    act, and gate against the eviction-boundary-aware expectation:
+
+    - a view from batch 1 must match a click arriving in batch 2 (join
+      state retained across the boundary);
+    - an unmatched view whose window closed under the FINAL global
+      watermark (least(max view ts, max click ts) [ms] - 1 h) must emit a
+      null-click row (eviction proves no match can arrive);
+    - an unmatched view whose window was still open at that watermark must
+      NOT emit (it is legitimately buffered state when the run ends)."""
+    import uuid as _uuid
+    from datetime import datetime
+
+    from ocrautomator_spark.streaming.jobs import (
+        _interval_join_on,
+        _interval_join_project,
+    )
+
+    indir = tmp_path / "ivj"
+    indir.mkdir()
+    t = lambda h, m: datetime(2024, 3, 1, h, m)
+    # batch 1: V1 (will match cross-batch), V3 (never matched, old window),
+    # C0 matches V1 in-batch so both result kinds exist early
+    _write_events(str(indir / "b1.parquet"), [
+        (101, t(10, 0), 1, "view"),
+        (301, t(10, 5), 3, "view"),
+        (102, t(10, 10), 1, "click"),
+    ])
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir))
+    )
+    joined = _interval_join_project(_interval_join_on(stream, "leftOuter"))
+    name = f"ivj_{_uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ivj_ck")).start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: C1 matches batch-1's V1 (cross-batch, inside its 30-min
+        # window); V4 stays unmatched but its window is still open at the
+        # final watermark; C_adv advances the click-side watermark
+        _write_events(str(indir / "b2.parquet"), [
+            (103, t(10, 20), 1, "click"),
+            (401, t(18, 0), 4, "view"),
+            (999, t(20, 0), 99, "click"),
+        ])
+        q.processAllAvailable()
+        n_data_batches = sum(1 for p in q.recentProgress if p.get("numInputRows", 0) > 0)
+        assert n_data_batches >= 2, f"expected >=2 data microbatches, got {n_data_batches}"
+    finally:
+        q.stop()
+
+    rows = spark.table(name).collect()
+    matches = {(r["view_eid"], r["click_eid"]) for r in rows if r["click_eid"] is not None}
+    outers = {r["view_eid"] for r in rows if r["click_eid"] is None}
+    # cross-batch match: V1 (batch 1) x C1 (batch 2); in-batch match V1 x C0
+    assert (101, 102) in matches, f"in-batch match missing: {matches}"
+    assert (101, 103) in matches, (
+        f"CROSS-BATCH match missing — join state was not retained: {matches}"
+    )
+    # final watermark = least(max view 18:00, max click 20:00) - 1h = 17:00;
+    # V3's window closed 10:35 < 17:00 -> null row; V4's closes 18:30 > 17:00
+    # -> still-buffered state, must NOT emit; V1 matched, must not emit
+    assert 301 in outers, f"evicted unmatched view must emit a null row: {outers}"
+    assert 401 not in outers, f"still-buffered view must NOT emit: {outers}"
+    assert 101 not in outers, f"matched view must not emit an outer row: {outers}"
