@@ -700,10 +700,13 @@ def dedup_substring_windows(spark: SparkSession, sf: str) -> DataFrame:
     oracle, making this fully hash-gated."""
     corpus = _substring_corpus(spark, sf)
     idx = F.sequence(F.lit(1), F.greatest(F.length("t") - (SUBSTR_WIN - 1), F.lit(1)))
+    # 1/16 mod-selection applied INSIDE the array before the explode (r7):
+    # same md5 count, but the generator emits ~1/16 of the rows
+    hs = F.transform(idx, lambda i: F.md5(F.col("t").substr(i, F.lit(SUBSTR_WIN))))
     wins = corpus.select(
         "doc_id",
         F.explode(
-            F.transform(idx, lambda i: F.md5(F.col("t").substr(i, F.lit(SUBSTR_WIN))))
+            F.filter(hs, lambda h: F.substring(h, 1, 1) == F.lit(SUBSTR_SEL_HEX))
         ).alias("h"),
     )
     # ONE exchange serves the whole candidate pipeline (r7): hashpartitioning
@@ -712,10 +715,9 @@ def dedup_substring_windows(spark: SparkSession, sf: str) -> DataFrame:
     # h-equi self-join — the unkeyed distinct used to force its own
     # (doc_id, h) exchange plus a second one per h-keyed consumer. Pinned
     # count so AQE cannot fold the compute-heavy join stage onto one core.
-    # Measured 2.9-3.2s -> 2.1-2.3s at sf0.1, identical pair set.
+    # Measured 2.9-3.2s -> 2.0-2.3s at sf0.1, identical pair set.
     sel = (
-        wins.filter(F.substring("h", 1, 1) == SUBSTR_SEL_HEX)
-        .repartition(wins.sparkSession.sparkContext.defaultParallelism, "h")
+        wins.repartition(wins.sparkSession.sparkContext.defaultParallelism, "h")
         .distinct()
     )
     keep = (
