@@ -293,8 +293,8 @@ def join_asof(spark: SparkSession, sf: str) -> DataFrame:
 def agg_hash(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1-style pricing summary — partial (map-side) aggregation then
     final merge, the canonical hash-agg plan."""
-    # T_par (r7): the 8 decimal(30,10) partial aggregates fuse into the scan
-    # stage; a single-row-group lineitem would run them all on one core
+    # par_scan (r7): the 8 decimal(30,10) partial aggregates fuse into the
+    # scan stage; a single-row-group lineitem would run them all on one core
     li = par_scan(T(spark, sf, "lineitem")).filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
     )
