@@ -49,10 +49,8 @@ def strip_inline(s: str) -> str:
 
 
 def _mk_block(text: str, start: int, end: int, kind: str) -> Block:
-    b = Block(text=text, start=start, end=max(end, start + 1), kind=kind)
-    b.n_words = len(text.split())
-    b.n_chars = len(text)
-    return b
+    # positional + fully-initialized: one __init__ call, no attribute stores
+    return Block(text, start, max(end, start + 1), kind, len(text.split()), len(text))
 
 
 def extract_mixed(raw: str) -> list[Block]:

@@ -103,12 +103,12 @@ def reflow_pdf(raw: str) -> list[Block]:
         last_e = para[-1][1] - (len(para[-1][2]) - len(para[-1][2].rstrip()))
         blocks.append(
             Block(
-                text=text,
-                start=first_s,
-                end=max(last_e, first_s + 1),
-                kind=KIND_CONTENT,
-                n_words=len(text.split()),
-                n_chars=len(text),
+                text,
+                first_s,
+                max(last_e, first_s + 1),
+                KIND_CONTENT,
+                len(text.split()),
+                len(text),
             )
         )
     return blocks
