@@ -112,13 +112,17 @@ def graph_pagerank_topk(spark: SparkSession, sf: str) -> DataFrame:
                 F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
             )
         ).alias("e")
-    ).select("e.src", "e.dst").localCheckpoint()
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    nn = deg.agg(F.count("*").alias("n"))
-    # r7: materialize edges-with-outdeg ONCE — the edges |x| deg join fed
-    # BOTH iterations, so the plan carried two copies of the join subtree
-    # (and re-derived deg from the cached edge RDD each time).
-    ed = edges.join(deg, "src").localCheckpoint()
+    ).select("e.src", "e.dst")
+    # r7: attach outdeg with a window over src instead of groupBy+join —
+    # the single exchange on src replaces deg's groupBy exchange AND the
+    # join, and ONE checkpoint (edges-with-outdeg) replaces the former two
+    # materializations (bare edges, then edges |x| deg).
+    from pyspark.sql.window import Window
+
+    ed = edges.withColumn(
+        "outdeg", F.count("*").over(Window.partitionBy("src"))
+    ).localCheckpoint()
+    nn = ed.agg(F.count_distinct("src").alias("n"))
 
     def _step(rank_of_src, contrib_col):
         """One power iteration: join ranks onto edges by src, aggregate
