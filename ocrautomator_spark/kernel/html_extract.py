@@ -97,6 +97,15 @@ def _parse_tag(body: str) -> tuple[str, bool, bool] | None:
 _RUN_MEMO: dict[str, str] = {}
 _RUN_MEMO_CAP = 200_000
 
+# Bounded memo for flush()'s text-derived values. Block texts repeat heavily
+# (this corpus: 3.0 blocks per distinct text; the five nav labels alone are
+# 38% of all blocks), and (lead, trail, n_chars, n_words) are pure functions
+# of the joined text — strip/find/split run once per DISTINCT text, repeats
+# pay one dict hit. None marks a whitespace-only text (block dropped).
+_BLK_MEMO: dict[str, tuple[int, int, int, int] | None] = {}
+_BLK_MEMO_CAP = 200_000
+_BLK_MISS = object()  # memo-miss sentinel (None is a valid memo value)
+
 
 def segment_html(raw: str) -> list[Block]:
     """Tokenize raw HTML and group text runs into scored candidate blocks.
@@ -127,16 +136,27 @@ def segment_html(raw: str) -> list[Block]:
         nonlocal n_link_chars, n_inline_tags, kind, kind_set, in_chrome, n_spans
         # callers gate on `parts` non-empty; empty-state reset is inlined there
         text = "".join(parts)
-        stripped = text.strip()
-        if stripped:
-            # trim offsets to the non-whitespace extent of the block;
-            # leading/trailing ws may live entirely in first/last part — the
-            # adjustment is approximate only when entities shift lengths,
-            # which never moves offsets outside the true source region.
-            # (the stripped block's first occurrence in text IS at the lead
-            # offset — one C find instead of lstrip+rstrip allocations)
-            lead = text.find(stripped)
-            trail = len(text) - lead - len(stripped)
+        info = blk_memo_get(text, _BLK_MISS)
+        if info is _BLK_MISS:
+            stripped = text.strip()
+            if stripped:
+                # trim offsets to the non-whitespace extent of the block;
+                # leading/trailing ws may live entirely in first/last part —
+                # the adjustment is approximate only when entities shift
+                # lengths, which never moves offsets outside the true source
+                # region. (the stripped block's first occurrence in text IS
+                # at the lead offset — one C find instead of lstrip+rstrip
+                # allocations)
+                lead = text.find(stripped)
+                n_chars = len(stripped)
+                info = (lead, len(text) - lead - n_chars, n_chars, len(stripped.split()))
+            else:
+                info = None
+            if len(_BLK_MEMO) >= _BLK_MEMO_CAP:
+                _BLK_MEMO.clear()
+            _BLK_MEMO[text] = info
+        if info is not None:
+            lead, trail, n_chars, n_words = info
             start = first_start
             end = last_end
             # inline conditional min/max: these four clamps run ~6 times per
@@ -155,7 +175,6 @@ def segment_html(raw: str) -> list[Block]:
             end -= ll
             if start >= end:  # degenerate after trimming; fall back
                 start, end = first_start, last_end
-            n_chars = len(stripped)
             # positional construction: the generated dataclass __init__ binds
             # 9 keyword args per call and this is the kernel's hottest
             # allocation site (~1M calls per 100k turns)
@@ -165,7 +184,7 @@ def segment_html(raw: str) -> list[Block]:
                     start,
                     end,
                     kind,
-                    len(stripped.split()),
+                    n_words,
                     n_chars,
                     n_link_chars if n_link_chars < n_chars else n_chars,
                     n_inline_tags,
@@ -200,6 +219,7 @@ def segment_html(raw: str) -> list[Block]:
     # run, comments/CDATA consume '<'s until their end marker.
     tag_memo_get = _TAG_MEMO.get
     run_memo_get = _RUN_MEMO.get
+    blk_memo_get = _BLK_MEMO.get
     pieces = raw.split("<")
     npieces = len(pieces)
 
